@@ -1,0 +1,381 @@
+"""Pallas TPU tile rasterizer with per-tile dynamic triangle counts.
+
+The XLA-scan z-pass (`raster_xla.py`) must pad every tile to the worst-case
+triangle count; real scenes are heavy-tailed (max/mean per-tile count is
+4-10x on Tornado), so a static bound wastes most of the machine. This
+kernel consumes a **CSR chunk layout**: the (tile, triangle) pairs produced
+by binning are sorted by (tile, conservative triangle depth), each tile's
+run padded up to a multiple of the chunk size C, and all runs concatenated
+into one [total_chunks, 16, C] payload buffer in HBM. Each grid step (one
+tile) reads its chunk count + base offset from prefetched scalars and loops
+over its own chunks with double-buffered DMA — and, because chunks arrive
+front-to-back, stops as soon as the next chunk's minimum depth is behind
+every pixel already shaded (hierarchical-Z style occlusion culling, the
+TPU answer to GPU early-z).
+
+The payload capacity mirrors the reference's fragment-buffer sizing policy
+(expected average x size with clamp + overflow warning,
+`src/Renderers/OIT/PerPixelLinkedListLineRenderer.cpp:257-313`).
+
+Payload rows (payload[:, c] for triangle slot c):
+  0-8:   edge functional coefficients (a,b,c) x 3 (orientation-normalized)
+  9-11:  affine depth plane (a,b,c)
+  12-14: "id plane" (0, 0, id) — evaluating it as a linear functional
+         broadcasts the triangle id across pixels via the same dot that
+         evaluates edges (ids exact below 2^24 in f32)
+  15:    conservative min NDC depth of the triangle (sort key within tile)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["CsrBinning", "build_csr_binning", "rasterize_depth_pallas"]
+
+PAYLOAD_ROWS = 16
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["payload", "tile_chunk_base", "tile_num_chunks", "overflow"],
+    meta_fields=["tiles_x", "tiles_y", "chunk"],
+)
+@dataclasses.dataclass
+class CsrBinning:
+    """Chunk-padded CSR triangle lists for the Pallas rasterizer.
+
+    payload:         [total_chunks, 16, chunk] float32 (see module docstring)
+    tile_chunk_base: [n_tiles] int32 — first chunk index of each tile
+    tile_num_chunks: [n_tiles] int32 — chunks owned by each tile
+    overflow:        [] int32 — (tile, tri) pairs dropped due to capacity
+    """
+
+    payload: jnp.ndarray
+    tile_chunk_base: jnp.ndarray
+    tile_num_chunks: jnp.ndarray
+    overflow: jnp.ndarray
+    tiles_x: int
+    tiles_y: int
+    chunk: int
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile_w", "tile_h", "chunk", "span_x", "span_y",
+        "pairs_capacity", "depth_sort",
+    ),
+)
+def build_csr_binning(
+    tri_x: jnp.ndarray,  # [3, T]
+    tri_y: jnp.ndarray,  # [3, T]
+    payload_rows: jnp.ndarray,  # [R<=16, T] per-triangle payload (coefs, id, zmin)
+    valid: jnp.ndarray,  # [T]
+    width: int,
+    height: int,
+    tile_w: int = 128,
+    tile_h: int = 8,
+    chunk: int = 128,
+    span_x: int = 2,
+    span_y: int = 2,
+    pairs_capacity: int = 0,  # 0 -> span_x*span_y*T (exact upper bound)
+    depth_sort: bool = True,  # front-to-back within tiles (occlusion culling)
+) -> CsrBinning:
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-height // tile_h)
+    num_tiles = tiles_x * tiles_y
+    T = tri_x.shape[1]
+    if pairs_capacity <= 0:
+        # Default capacity policy: ~2 tiles per triangle on average, like the
+        # reference's expected-depth-complexity fragment buffer sizing
+        # (PerPixelLinkedListLineRenderer.hpp:44-48). Overflow is counted.
+        pairs_capacity = min(span_x * span_y * T, 2 * T + 65536)
+    cap_chunks = -(-pairs_capacity // chunk) + num_tiles  # worst-case padding
+    C = chunk
+
+    xmin = jnp.min(tri_x, axis=0)
+    xmax = jnp.max(tri_x, axis=0)
+    ymin = jnp.min(tri_y, axis=0)
+    ymax = jnp.max(tri_y, axis=0)
+    on_screen = (xmax >= 0) & (ymax >= 0) & (xmin < width) & (ymin < height)
+    # Sub-pixel cull: a triangle whose bbox straddles no pixel center can
+    # never produce coverage (pixel centers at integer+0.5).
+    covers_x = jnp.floor(xmax - 0.5) >= jnp.ceil(xmin - 0.5)
+    covers_y = jnp.floor(ymax - 0.5) >= jnp.ceil(ymin - 0.5)
+    valid = valid & on_screen & covers_x & covers_y
+
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+
+    dx = jnp.arange(span_x, dtype=jnp.int32)
+    dy = jnp.arange(span_y, dtype=jnp.int32)
+    cand_tx = tx0[None, None, :] + dx[None, :, None]
+    cand_ty = ty0[None, None, :] + dy[:, None, None]
+    in_range = (
+        (cand_tx <= tx1[None, None, :])
+        & (cand_ty <= ty1[None, None, :])
+        & valid[None, None, :]
+    )
+    tile_id = jnp.where(in_range, cand_ty * tiles_x + cand_tx, num_tiles)
+
+    flat_ids = tile_id.reshape(-1).astype(jnp.int32)
+    tri_ids = jnp.broadcast_to(
+        jnp.arange(T, dtype=jnp.int32)[None, None, :], tile_id.shape
+    ).reshape(-1)
+    if depth_sort:
+        # Secondary key: conservative triangle min depth (payload row 15),
+        # so each tile's run is front-to-back. Ties keep ascending id
+        # (stable) -> fully deterministic.
+        zmin_key = jnp.broadcast_to(
+            payload_rows[15][None, None, :], tile_id.shape
+        ).reshape(-1)
+        sorted_ids, _, sorted_tris = jax.lax.sort(
+            (flat_ids, zmin_key, tri_ids), dimension=-1, is_stable=True, num_keys=2
+        )
+    else:
+        sorted_ids, sorted_tris = jax.lax.sort(
+            (flat_ids, tri_ids), dimension=-1, is_stable=True, num_keys=1
+        )
+
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_ids, tile_range, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_ids, tile_range + 1, side="left").astype(jnp.int32)
+    raw_counts = ends - starts
+
+    # Chunk-pad each tile's run; truncate tiles that exceed the capacity
+    # (deterministic, with an overflow count surfaced to the host).
+    nchunks_raw = -(-raw_counts // C)
+    base_raw = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks_raw).astype(jnp.int32)]
+    )
+    fit = base_raw[1:] <= cap_chunks
+    nchunks = jnp.where(fit, nchunks_raw, jnp.maximum(cap_chunks - base_raw[:-1], 0))
+    counts = jnp.minimum(raw_counts, nchunks * C)
+    overflow = jnp.sum(raw_counts - counts)
+    base = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nchunks).astype(jnp.int32)]
+    )[:-1]
+
+    # Gather-form CSR fill: slot s belongs to tile t(s); its rank within the
+    # tile maps back into the sorted pair array.
+    slot = jnp.arange(cap_chunks * C, dtype=jnp.int32)
+    slot_chunk = slot // C
+    tile_of_slot = (
+        jnp.searchsorted(base, slot_chunk, side="right").astype(jnp.int32) - 1
+    )
+    tile_of_slot = jnp.clip(tile_of_slot, 0, num_tiles - 1)
+    rank = slot - base[tile_of_slot] * C
+    slot_valid = (rank >= 0) & (rank < counts[tile_of_slot]) & (
+        slot_chunk < base[tile_of_slot] + nchunks[tile_of_slot]
+    )
+    j = jnp.where(slot_valid, starts[tile_of_slot] + rank, 0)
+    tri = jnp.where(slot_valid, sorted_tris[j], 0)
+
+    R = payload_rows.shape[0]
+    rows = payload_rows[:, tri]  # [R, cap_chunks*C]
+    # Invalid slots get all-rejecting edges (c coefficients = -1) and a far
+    # zmin (+inf would poison the chunk-min early-exit key: padded slots sit
+    # at the END of a front-to-back run, so a large finite value is correct).
+    reject = jnp.zeros((R,), jnp.float32).at[jnp.array([2, 5, 8])].set(-1.0)
+    if R > 15:
+        reject = reject.at[15].set(3.0)
+    rows = jnp.where(slot_valid[None, :], rows, reject[:, None])
+    if R < PAYLOAD_ROWS:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((PAYLOAD_ROWS - R, rows.shape[1]), jnp.float32)],
+            axis=0,
+        )
+    payload = rows.reshape(PAYLOAD_ROWS, cap_chunks, C).transpose(1, 0, 2)
+
+    return CsrBinning(
+        payload=payload,
+        tile_chunk_base=base,
+        tile_num_chunks=nchunks,
+        overflow=overflow,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        chunk=C,
+    )
+
+
+TILE_GROUP = 8  # tiles per grid step; output blocks are [8, P] (sublane rule)
+
+
+def _zpass_kernel(
+    # scalar prefetch
+    num_chunks_ref,  # [n_tiles_pad] SMEM
+    chunk_base_ref,  # [n_tiles_pad] SMEM
+    # inputs
+    payload_hbm,  # [total_chunks, 16, C] in HBM/ANY
+    # outputs
+    depth_ref,  # [TILE_GROUP, P] VMEM
+    id_ref,  # [TILE_GROUP, P] VMEM (float ids)
+    # scratch
+    coef_scr,  # [2, 16, C] VMEM
+    sem,  # DMA sems (2,)
+    *,
+    tile_w: int,
+    tile_h: int,
+    tiles_x: int,
+    chunk: int,
+    use_early_z: bool,
+):
+    gi = pl.program_id(0)
+    C = chunk
+    P = tile_w * tile_h
+
+    # Flat local pixel coordinates, shared by all tiles in the group.
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    ly = (lin // tile_w).astype(jnp.float32)
+    lx = (lin % tile_w).astype(jnp.float32)
+    ones = jnp.ones((1, P), jnp.float32)
+
+    depth_ref[:] = jnp.full(depth_ref.shape, 2.0, jnp.float32)
+    id_ref[:] = jnp.full(id_ref.shape, -1.0, jnp.float32)
+
+    for k in range(TILE_GROUP):  # static unroll over the tile group
+        t = gi * TILE_GROUP + k
+        nch = num_chunks_ref[t]
+        base = chunk_base_ref[t]
+        ty = (t // tiles_x).astype(jnp.float32)
+        tx = (t % tiles_x).astype(jnp.float32)
+        gx = tx * tile_w + lx + 0.5  # [1, P]
+        gy = ty * tile_h + ly + 0.5
+        # A [3, P]: pixel rows for the transposed-dot coverage test.
+        A = jnp.concatenate([gx, gy, ones], axis=0)
+
+        def get_dma(slot, c, base=base):
+            return pltpu.make_async_copy(
+                payload_hbm.at[base + c], coef_scr.at[slot], sem.at[slot]
+            )
+
+        @pl.when(nch > 0)
+        def _(nch=nch, A=A, k=k, get_dma=get_dma):
+            get_dma(0, 0).start()
+
+            def cond(state):
+                c, _zfar = state
+                return c < nch
+
+            def body(state):
+                c, zfar_prev = state
+                slot = jax.lax.rem(c, 2)
+
+                get_dma(slot, c).wait()
+                coef = coef_scr[slot]  # [16, C]
+                chunk_zmin = coef[15, 0]
+                # Runs are front-to-back: once this chunk's conservative min
+                # depth is behind every already-shaded pixel, this chunk and
+                # all later ones are occluded -> exit.
+                exit_now = (
+                    (chunk_zmin > zfar_prev) if use_early_z else jnp.bool_(False)
+                )
+
+                @pl.when(jnp.logical_not(exit_now))
+                def _():
+                    @pl.when(c + 1 < nch)
+                    def _():
+                        get_dma(1 - slot, c + 1).start()
+
+                    def functional(r):
+                        # [3, C] x [3, P] -> [C, P] (contraction over dim 0).
+                        return jax.lax.dot_general(
+                            coef[r : r + 3, :],
+                            A,
+                            (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    e0 = functional(0)
+                    e1 = functional(3)
+                    e2 = functional(6)
+                    z = functional(9)
+                    ids = functional(12)  # id-plane broadcast: [C, P]
+                    inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                    inside &= (z >= 0.0) & (z <= 1.0)
+                    zm = jnp.where(inside, z, jnp.inf)  # [C, P]
+                    bz = jnp.min(zm, axis=0, keepdims=True)  # [1, P]
+                    bid = jnp.min(
+                        jnp.where(zm <= bz, ids, jnp.inf), axis=0, keepdims=True
+                    )
+                    row = depth_ref[k : k + 1, :]
+                    take = bz < row
+                    depth_ref[k : k + 1, :] = jnp.where(take, bz, row)
+                    id_ref[k : k + 1, :] = jnp.where(
+                        take, bid, id_ref[k : k + 1, :]
+                    )
+
+                zfar = jnp.max(depth_ref[k : k + 1, :])
+                c_next = jnp.where(exit_now, nch, c + 1)
+                return (c_next, zfar)
+
+            jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(2.0)))
+
+
+@partial(jax.jit, static_argnames=("tile_w", "tile_h", "interpret", "use_early_z"))
+def rasterize_depth_pallas(
+    csr: CsrBinning,
+    tile_w: int = 16,
+    tile_h: int = 8,
+    interpret: bool = False,
+    use_early_z: bool = True,
+):
+    """Z-buffer pass. Returns (depth, tri_id), each [n_tiles, P].
+
+    Depth is NDC z in [0, 1]; background pixels have depth 2.0 and id -1.
+    Depth ties resolve to the lowest triangle id (deterministic).
+    """
+    n_tiles = csr.tile_chunk_base.shape[0]
+    C = csr.chunk
+    P = tile_w * tile_h
+    n_pad = -(-n_tiles // TILE_GROUP) * TILE_GROUP
+    nch = jnp.pad(csr.tile_num_chunks, (0, n_pad - n_tiles))
+    base = jnp.pad(csr.tile_chunk_base, (0, n_pad - n_tiles))
+
+    kernel = functools.partial(
+        _zpass_kernel,
+        tile_w=tile_w,
+        tile_h=tile_h,
+        tiles_x=csr.tiles_x,
+        chunk=C,
+        use_early_z=use_early_z,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // TILE_GROUP,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(
+                (TILE_GROUP, P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE_GROUP, P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PAYLOAD_ROWS, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    depth, fid = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, P), jnp.float32),
+        ],
+        interpret=interpret,
+    )(nch, base, csr.payload)
+    depth = depth[:n_tiles]
+    fid = fid[:n_tiles]
+    tri_id = jnp.where(fid < 0, -1, fid.astype(jnp.int32))
+    return depth, tri_id
