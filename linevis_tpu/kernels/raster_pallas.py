@@ -6,24 +6,31 @@ triangle count; real scenes are heavy-tailed (max/mean per-tile count is
 kernel consumes a **CSR chunk layout**: the (tile, triangle) pairs produced
 by binning are sorted by (tile, conservative triangle depth), each tile's
 run padded up to a multiple of the chunk size C, and all runs concatenated
-into one [total_chunks, 16, C] payload buffer in HBM. Each grid step (one
-tile) reads its chunk count + base offset from prefetched scalars and loops
-over its own chunks with double-buffered DMA — and, because chunks arrive
+into one [total_chunks, R, C] payload buffer in HBM. Each grid step (a
+group of 8 tiles — TPU sublane rule for output blocks) reads each tile's
+chunk count + base offset from prefetched scalars and loops over exactly
+its own chunks with double-buffered DMA — and, because chunks arrive
 front-to-back, stops as soon as the next chunk's minimum depth is behind
 every pixel already shaded (hierarchical-Z style occlusion culling, the
 TPU answer to GPU early-z).
+
+Coverage/depth/attribute evaluation for a chunk is a handful of
+[3, C] x [3, P] dots (transposed matmul on the MXU): every per-fragment
+quantity — edges, depth, triangle id, and the interpolated G-buffer
+attributes — is an affine plane in screen space (see
+`render/pipeline.py:build_payload`), so the whole rasterizer is "evaluate
+planes, select the nearest". Shading then needs no per-pixel gathers.
 
 The payload capacity mirrors the reference's fragment-buffer sizing policy
 (expected average x size with clamp + overflow warning,
 `src/Renderers/OIT/PerPixelLinkedListLineRenderer.cpp:257-313`).
 
-Payload rows (payload[:, c] for triangle slot c):
+Payload rows (R = 16 for depth-only, 40 with G-buffer planes):
   0-8:   edge functional coefficients (a,b,c) x 3 (orientation-normalized)
   9-11:  affine depth plane (a,b,c)
-  12-14: "id plane" (0, 0, id) — evaluating it as a linear functional
-         broadcasts the triangle id across pixels via the same dot that
-         evaluates edges (ids exact below 2^24 in f32)
+  12-14: "id plane" (0, 0, id) — ids exact below 2^24 in f32
   15:    conservative min NDC depth of the triangle (sort key within tile)
+  16+3j: attribute plane j (inv_w, attr/w, normal/w xyz, tangent/w xyz)
 """
 
 from __future__ import annotations
@@ -37,9 +44,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["CsrBinning", "build_csr_binning", "rasterize_depth_pallas"]
+__all__ = [
+    "CsrBinning",
+    "build_csr_binning",
+    "rasterize_depth_pallas",
+    "rasterize_gbuffer_pallas",
+]
 
-PAYLOAD_ROWS = 16
+TILE_GROUP = 8  # tiles per grid step; output blocks are [8, P] (sublane rule)
 
 
 @partial(
@@ -51,7 +63,7 @@ PAYLOAD_ROWS = 16
 class CsrBinning:
     """Chunk-padded CSR triangle lists for the Pallas rasterizer.
 
-    payload:         [total_chunks, 16, chunk] float32 (see module docstring)
+    payload:         [R, total_chunks, chunk] float32 (see module docstring)
     tile_chunk_base: [n_tiles] int32 — first chunk index of each tile
     tile_num_chunks: [n_tiles] int32 — chunks owned by each tile
     overflow:        [] int32 — (tile, tri) pairs dropped due to capacity
@@ -76,16 +88,16 @@ class CsrBinning:
 def build_csr_binning(
     tri_x: jnp.ndarray,  # [3, T]
     tri_y: jnp.ndarray,  # [3, T]
-    payload_rows: jnp.ndarray,  # [R<=16, T] per-triangle payload (coefs, id, zmin)
+    payload_rows: jnp.ndarray,  # [R, T] per-triangle payload (row 15 = zmin)
     valid: jnp.ndarray,  # [T]
     width: int,
     height: int,
-    tile_w: int = 128,
+    tile_w: int = 16,
     tile_h: int = 8,
     chunk: int = 128,
     span_x: int = 2,
     span_y: int = 2,
-    pairs_capacity: int = 0,  # 0 -> span_x*span_y*T (exact upper bound)
+    pairs_capacity: int = 0,
     depth_sort: bool = True,  # front-to-back within tiles (occlusion culling)
 ) -> CsrBinning:
     tiles_x = -(-width // tile_w)
@@ -127,28 +139,31 @@ def build_csr_binning(
     )
     tile_id = jnp.where(in_range, cand_ty * tiles_x + cand_tx, num_tiles)
 
-    flat_ids = tile_id.reshape(-1).astype(jnp.int32)
     tri_ids = jnp.broadcast_to(
         jnp.arange(T, dtype=jnp.int32)[None, None, :], tile_id.shape
     ).reshape(-1)
+    # Single packed sort key: tile * 1024 + quantized depth bucket. The
+    # payload's row 15 holds the bucket LOWER edge (build_payload quantizes
+    # it the same way), so chunk order and the early-exit key agree exactly.
     if depth_sort:
-        # Secondary key: conservative triangle min depth (payload row 15),
-        # so each tile's run is front-to-back. Ties keep ascending id
-        # (stable) -> fully deterministic.
-        zmin_key = jnp.broadcast_to(
+        zq = jnp.broadcast_to(
             payload_rows[15][None, None, :], tile_id.shape
         ).reshape(-1)
-        sorted_ids, _, sorted_tris = jax.lax.sort(
-            (flat_ids, zmin_key, tri_ids), dimension=-1, is_stable=True, num_keys=2
-        )
+        zq = jnp.clip((zq * 1023.0), 0.0, 1023.0).astype(jnp.int32)
     else:
-        sorted_ids, sorted_tris = jax.lax.sort(
-            (flat_ids, tri_ids), dimension=-1, is_stable=True, num_keys=1
-        )
+        zq = jnp.zeros(tile_id.size, jnp.int32)
+    key = tile_id.reshape(-1) * 1024 + zq
+    sorted_keys, sorted_tris = jax.lax.sort(
+        (key, tri_ids), dimension=-1, is_stable=True, num_keys=1
+    )
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_ids, tile_range, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_ids, tile_range + 1, side="left").astype(jnp.int32)
+    starts = jnp.searchsorted(sorted_keys, tile_range * 1024, side="left").astype(
+        jnp.int32
+    )
+    ends = jnp.searchsorted(
+        sorted_keys, (tile_range + 1) * 1024, side="left"
+    ).astype(jnp.int32)
     raw_counts = ends - starts
 
     # Chunk-pad each tile's run; truncate tiles that exceed the capacity
@@ -181,20 +196,18 @@ def build_csr_binning(
     tri = jnp.where(slot_valid, sorted_tris[j], 0)
 
     R = payload_rows.shape[0]
+    assert R % 8 == 0, "payload rows must be a multiple of 8 (f32 sublanes)"
     rows = payload_rows[:, tri]  # [R, cap_chunks*C]
     # Invalid slots get all-rejecting edges (c coefficients = -1) and a far
-    # zmin (+inf would poison the chunk-min early-exit key: padded slots sit
-    # at the END of a front-to-back run, so a large finite value is correct).
+    # zmin (padded slots sit at the END of a front-to-back run, so a large
+    # finite value keeps the early-exit key monotone).
     reject = jnp.zeros((R,), jnp.float32).at[jnp.array([2, 5, 8])].set(-1.0)
     if R > 15:
         reject = reject.at[15].set(3.0)
     rows = jnp.where(slot_valid[None, :], rows, reject[:, None])
-    if R < PAYLOAD_ROWS:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((PAYLOAD_ROWS - R, rows.shape[1]), jnp.float32)],
-            axis=0,
-        )
-    payload = rows.reshape(PAYLOAD_ROWS, cap_chunks, C).transpose(1, 0, 2)
+    # Row-major [R, cap_chunks, C] — the kernel DMAs strided row slices, so
+    # no 400MB transpose is needed here.
+    payload = rows.reshape(R, cap_chunks, C)
 
     return CsrBinning(
         payload=payload,
@@ -207,33 +220,32 @@ def build_csr_binning(
     )
 
 
-TILE_GROUP = 8  # tiles per grid step; output blocks are [8, P] (sublane rule)
-
-
-def _zpass_kernel(
+def _raster_kernel(
     # scalar prefetch
     num_chunks_ref,  # [n_tiles_pad] SMEM
     chunk_base_ref,  # [n_tiles_pad] SMEM
     # inputs
-    payload_hbm,  # [total_chunks, 16, C] in HBM/ANY
-    # outputs
-    depth_ref,  # [TILE_GROUP, P] VMEM
-    id_ref,  # [TILE_GROUP, P] VMEM (float ids)
-    # scratch
-    coef_scr,  # [2, 16, C] VMEM
-    sem,  # DMA sems (2,)
-    *,
+    payload_hbm,  # [R, total_chunks, C] in HBM/ANY
+    # outputs: depth, idf, then num_attr_planes buffers, each [TILE_GROUP, P]
+    *refs,
     tile_w: int,
     tile_h: int,
     tiles_x: int,
     chunk: int,
+    payload_rows: int,
+    num_attr_planes: int,
     use_early_z: bool,
 ):
+    n_out = 2 + num_attr_planes
+    out_refs = refs[:n_out]
+    coef_scr, sem = refs[n_out], refs[n_out + 1]
+    depth_ref, id_ref = out_refs[0], out_refs[1]
+    attr_refs = out_refs[2:]
+
     gi = pl.program_id(0)
     C = chunk
     P = tile_w * tile_h
 
-    # Flat local pixel coordinates, shared by all tiles in the group.
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
     ly = (lin // tile_w).astype(jnp.float32)
     lx = (lin % tile_w).astype(jnp.float32)
@@ -241,6 +253,8 @@ def _zpass_kernel(
 
     depth_ref[:] = jnp.full(depth_ref.shape, 2.0, jnp.float32)
     id_ref[:] = jnp.full(id_ref.shape, -1.0, jnp.float32)
+    for r in attr_refs:
+        r[:] = jnp.zeros(r.shape, jnp.float32)
 
     for k in range(TILE_GROUP):  # static unroll over the tile group
         t = gi * TILE_GROUP + k
@@ -250,12 +264,11 @@ def _zpass_kernel(
         tx = (t % tiles_x).astype(jnp.float32)
         gx = tx * tile_w + lx + 0.5  # [1, P]
         gy = ty * tile_h + ly + 0.5
-        # A [3, P]: pixel rows for the transposed-dot coverage test.
-        A = jnp.concatenate([gx, gy, ones], axis=0)
+        A = jnp.concatenate([gx, gy, ones], axis=0)  # [3, P]
 
         def get_dma(slot, c, base=base):
             return pltpu.make_async_copy(
-                payload_hbm.at[base + c], coef_scr.at[slot], sem.at[slot]
+                payload_hbm.at[:, base + c, :], coef_scr.at[slot], sem.at[slot]
             )
 
         @pl.when(nch > 0)
@@ -271,11 +284,8 @@ def _zpass_kernel(
                 slot = jax.lax.rem(c, 2)
 
                 get_dma(slot, c).wait()
-                coef = coef_scr[slot]  # [16, C]
+                coef = coef_scr[slot]  # [R, C]
                 chunk_zmin = coef[15, 0]
-                # Runs are front-to-back: once this chunk's conservative min
-                # depth is behind every already-shaded pixel, this chunk and
-                # all later ones are occluded -> exit.
                 exit_now = (
                     (chunk_zmin > zfar_prev) if use_early_z else jnp.bool_(False)
                 )
@@ -299,20 +309,40 @@ def _zpass_kernel(
                     e1 = functional(3)
                     e2 = functional(6)
                     z = functional(9)
-                    ids = functional(12)  # id-plane broadcast: [C, P]
                     inside = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
                     inside &= (z >= 0.0) & (z <= 1.0)
                     zm = jnp.where(inside, z, jnp.inf)  # [C, P]
                     bz = jnp.min(zm, axis=0, keepdims=True)  # [1, P]
-                    bid = jnp.min(
-                        jnp.where(zm <= bz, ids, jnp.inf), axis=0, keepdims=True
-                    )
                     row = depth_ref[k : k + 1, :]
                     take = bz < row
-                    depth_ref[k : k + 1, :] = jnp.where(take, bz, row)
-                    id_ref[k : k + 1, :] = jnp.where(
-                        take, bid, id_ref[k : k + 1, :]
-                    )
+
+                    @pl.when(jnp.any(take))
+                    def _():
+                        ids = functional(12)
+                        bid = jnp.min(
+                            jnp.where(zm <= bz, ids, jnp.inf),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        depth_ref[k : k + 1, :] = jnp.where(take, bz, row)
+                        id_ref[k : k + 1, :] = jnp.where(
+                            take, bid, id_ref[k : k + 1, :]
+                        )
+                        if num_attr_planes:
+                            # Winner mask: exactly the (tri, pixel) pairs that
+                            # won the depth test in this chunk.
+                            win = (zm <= bz) & (ids == bid)
+                            for jdx in range(num_attr_planes):
+                                val = functional(16 + 3 * jdx)
+                                v = jnp.sum(
+                                    jnp.where(win, val, 0.0),
+                                    axis=0,
+                                    keepdims=True,
+                                )
+                                prev = attr_refs[jdx][k : k + 1, :]
+                                attr_refs[jdx][k : k + 1, :] = jnp.where(
+                                    take, v, prev
+                                )
 
                 zfar = jnp.max(depth_ref[k : k + 1, :])
                 c_next = jnp.where(exit_now, nch, c + 1)
@@ -321,32 +351,35 @@ def _zpass_kernel(
             jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(2.0)))
 
 
-@partial(jax.jit, static_argnames=("tile_w", "tile_h", "interpret", "use_early_z"))
-def rasterize_depth_pallas(
+@partial(
+    jax.jit,
+    static_argnames=("tile_w", "tile_h", "num_attr_planes", "interpret", "use_early_z"),
+)
+def _rasterize_pallas(
     csr: CsrBinning,
-    tile_w: int = 16,
-    tile_h: int = 8,
-    interpret: bool = False,
-    use_early_z: bool = True,
+    tile_w: int,
+    tile_h: int,
+    num_attr_planes: int,
+    interpret: bool,
+    use_early_z: bool,
 ):
-    """Z-buffer pass. Returns (depth, tri_id), each [n_tiles, P].
-
-    Depth is NDC z in [0, 1]; background pixels have depth 2.0 and id -1.
-    Depth ties resolve to the lowest triangle id (deterministic).
-    """
     n_tiles = csr.tile_chunk_base.shape[0]
     C = csr.chunk
+    R = csr.payload.shape[0]
     P = tile_w * tile_h
     n_pad = -(-n_tiles // TILE_GROUP) * TILE_GROUP
     nch = jnp.pad(csr.tile_num_chunks, (0, n_pad - n_tiles))
     base = jnp.pad(csr.tile_chunk_base, (0, n_pad - n_tiles))
+    n_out = 2 + num_attr_planes
 
     kernel = functools.partial(
-        _zpass_kernel,
+        _raster_kernel,
         tile_w=tile_w,
         tile_h=tile_h,
         tiles_x=csr.tiles_x,
         chunk=C,
+        payload_rows=R,
+        num_attr_planes=num_attr_planes,
         use_early_z=use_early_z,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -356,26 +389,53 @@ def rasterize_depth_pallas(
         out_specs=[
             pl.BlockSpec(
                 (TILE_GROUP, P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (TILE_GROUP, P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+            )
+        ]
+        * n_out,
         scratch_shapes=[
-            pltpu.VMEM((2, PAYLOAD_ROWS, C), jnp.float32),
+            pltpu.VMEM((2, R, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    depth, fid = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, P), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, P), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((n_pad, P), jnp.float32)] * n_out,
         interpret=interpret,
     )(nch, base, csr.payload)
-    depth = depth[:n_tiles]
-    fid = fid[:n_tiles]
+    outs = [o[:n_tiles] for o in outs]
+    depth, fid = outs[0], outs[1]
     tri_id = jnp.where(fid < 0, -1, fid.astype(jnp.int32))
+    return depth, tri_id, outs[2:]
+
+
+def rasterize_depth_pallas(
+    csr: CsrBinning,
+    tile_w: int = 16,
+    tile_h: int = 8,
+    interpret: bool = False,
+    use_early_z: bool = True,
+):
+    """Z-buffer pass. Returns (depth [n_tiles, P], tri_id [n_tiles, P]).
+
+    Depth is NDC z in [0, 1]; background pixels have depth 2.0 and id -1.
+    Depth ties resolve to the lowest triangle id (deterministic).
+    """
+    depth, tri_id, _ = _rasterize_pallas(
+        csr, tile_w, tile_h, 0, interpret, use_early_z
+    )
     return depth, tri_id
+
+
+def rasterize_gbuffer_pallas(
+    csr: CsrBinning,
+    num_attr_planes: int,
+    tile_w: int = 16,
+    tile_h: int = 8,
+    interpret: bool = False,
+    use_early_z: bool = True,
+):
+    """Full G-buffer pass. Returns (depth, tri_id, [attr planes...])."""
+    return _rasterize_pallas(
+        csr, tile_w, tile_h, num_attr_planes, interpret, use_early_z
+    )

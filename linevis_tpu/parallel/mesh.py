@@ -26,10 +26,16 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from linevis_tpu.geometry.tubes import TubeMesh
-from linevis_tpu.render.pipeline import RasterSettings, deferred_shade, vertex_stage
-from linevis_tpu.render.opaque import build_raster_payload
-from linevis_tpu.kernels.raster_pallas import build_csr_binning, rasterize_depth_pallas
+from linevis_tpu.kernels.raster_pallas import build_csr_binning, rasterize_gbuffer_pallas
 from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.render.opaque import _GBUF_KEYS, _ray_basis_from_view_proj
+from linevis_tpu.render.pipeline import (
+    GBUFFER_PLANES,
+    RasterSettings,
+    build_payload,
+    shade_gbuffer,
+    tube_vertex_stage,
+)
 
 __all__ = ["make_device_mesh", "render_opaque_sharded"]
 
@@ -48,43 +54,98 @@ def _render_band(mesh: TubeMesh, view_proj, camera_position, tf_table,
     band_h = band_settings.height
     y_off = (band * band_h).astype(jnp.float32)
 
-    vs = vertex_stage(
-        mesh.vertices, mesh.triangles, mesh.triangle_mask, view_proj,
-        band_settings.width, band_h * n_bands,
+    batch = tube_vertex_stage(
+        mesh, view_proj, band_settings.width, band_h * n_bands
     )
     # Shift into band-local pixel coordinates; the band rasterizes rows
     # [0, band_h) of its own coordinate system.
-    vs = dataclasses.replace(
-        vs, sy=vs.sy - y_off, tri_y=vs.tri_y - y_off,
-    )
-    payload = build_raster_payload(vs)
+    batch = dataclasses.replace(batch, tri_y=batch.tri_y - y_off)
+    payload = build_payload(batch)
     csr = build_csr_binning(
-        vs.tri_x, vs.tri_y, payload, vs.tri_valid,
+        batch.tri_x, batch.tri_y, payload, batch.tri_valid,
         band_settings.width, band_h,
         band_settings.tile_w, band_settings.tile_h, band_settings.chunk,
         band_settings.span_x, band_settings.span_y,
         band_settings.pairs_capacity,
     )
     interpret = jax.default_backend() == "cpu"
-    depth_t, id_t = rasterize_depth_pallas(
-        csr, band_settings.tile_w, band_settings.tile_h, interpret=interpret
+    depth_t, id_t, attrs_t = rasterize_gbuffer_pallas(
+        csr, GBUFFER_PLANES, band_settings.tile_w, band_settings.tile_h,
+        interpret=interpret,
     )
-    tri_id = unpack_tiles(
-        id_t, csr.tiles_x, csr.tiles_y, band_settings.tile_w,
-        band_settings.tile_h, band_settings.width, band_h,
-    )
-    big = jnp.float32(3e38)
-    # Depth-cue range must be consistent across bands -> psum-style global
-    # min/max over the mesh (replicated compute, but written with collectives
-    # so a geometry-sharded variant stays correct).
-    dmin = jnp.min(jnp.where(mesh.vertex_mask, vs.view_z, big))
-    dmax = jnp.max(jnp.where(mesh.vertex_mask, vs.view_z, -big))
-    dmin = jax.lax.pmin(dmin, axis)
-    dmax = jax.lax.pmax(dmax, axis)
-    img = deferred_shade(
-        tri_id, mesh, vs, tf_table, camera_position, dmin, dmax, band_settings
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, band_settings.tile_w,
+            band_settings.tile_h, band_settings.width, band_h,
+        )
+
+    gbuf = {"id": unp(id_t)}
+    for key, buf in zip(_GBUF_KEYS, attrs_t):
+        gbuf[key] = unp(buf)
+
+    # Depth-cue range must be consistent across bands (collectives keep a
+    # geometry-sharded variant correct too).
+    dmin = jax.lax.pmin(batch.view_z_min, axis)
+    dmax = jax.lax.pmax(batch.view_z_max, axis)
+
+    # shade_gbuffer reconstructs positions from band-local pixel rows; use a
+    # full-frame ray basis by shading with the band's v-coordinate range.
+    ray_basis = _ray_basis_from_view_proj(view_proj)
+    img = _shade_band(
+        gbuf, tf_table, camera_position, ray_basis, dmin, dmax,
+        band_settings, band, n_bands,
     )
     return img  # [4, band_h, W]
+
+
+def _shade_band(gbuf, tf_table, camera_position, ray_basis, dmin, dmax,
+                settings: RasterSettings, band, n_bands):
+    """shade_gbuffer variant with v-coordinates offset to this band's rows."""
+    from linevis_tpu.render.lighting import (
+        apply_depth_cue,
+        blinn_phong_shade_tube,
+        normalize3,
+    )
+
+    H, W = gbuf["id"].shape
+    full_h = H * n_bands
+    fg = gbuf["id"] >= 0
+    inv_w = jnp.maximum(gbuf["inv_w"], 1e-12)
+    view_z = 1.0 / inv_w
+    attr = gbuf["attr_w"] * view_z
+    normal = normalize3(jnp.stack([gbuf["nx"], gbuf["ny"], gbuf["nz"]], axis=0))
+    tangent = normalize3(jnp.stack([gbuf["tx"], gbuf["ty"], gbuf["tz"]], axis=0))
+
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :] * (2.0 / W) - 1.0
+    rows = band * H + jnp.arange(H, dtype=jnp.float32)
+    v = 1.0 - (rows + 0.5)[:, None] * (2.0 / full_h)
+    u = jnp.broadcast_to(u, (H, W))
+    v = jnp.broadcast_to(v, (H, W))
+    dirs = (
+        ray_basis[:, 0][:, None, None] * u[None]
+        + ray_basis[:, 1][:, None, None] * v[None]
+        + ray_basis[:, 2][:, None, None]
+    )
+    pos = camera_position[:, None, None] + dirs * view_z[None]
+
+    n = tf_table.shape[0]
+    tt = tf_table.T
+    f = jnp.clip(attr, 0.0, 1.0) * (n - 1)
+    i0 = jnp.clip(jnp.floor(f).astype(jnp.int32), 0, n - 2)
+    wgt = f - i0
+    lut = [tt[c][i0] * (1.0 - wgt) + tt[c][i0 + 1] * wgt for c in range(4)]
+    rgb = jnp.stack(lut[:3], axis=0)
+    alpha = lut[3]
+
+    color = blinn_phong_shade_tube(rgb, pos, normal, tangent, camera_position)
+    if settings.depth_cue_strength > 0.0:
+        color = apply_depth_cue(color, view_z, dmin, dmax,
+                                settings.depth_cue_strength)
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    out_rgb = jnp.where(fg[None], color, bg[:3, None, None])
+    out_a = jnp.where(fg, alpha, bg[3])
+    return jnp.concatenate([out_rgb, out_a[None]], axis=0)
 
 
 def render_opaque_sharded(
@@ -97,8 +158,7 @@ def render_opaque_sharded(
 ) -> jnp.ndarray:
     """Full-frame render sharded image-space over `device_mesh` -> [4, H, W].
 
-    settings.height must divide evenly by the mesh size (band height must be
-    a multiple of the tile height).
+    settings.height must divide evenly by n_devices * tile_h.
     """
     axis = device_mesh.axis_names[0]
     n = device_mesh.devices.size

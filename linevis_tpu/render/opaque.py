@@ -1,10 +1,11 @@
-"""Opaque tube renderer (z-buffer + deferred shading).
+"""Opaque tube renderer (G-buffer raster + elementwise shading).
 
 Reference: `src/Renderers/OpaqueLineRenderer.{hpp:40,cpp}` (MSAA raster of
-tube triangles). TPU-native: Pallas CSR tile z-pass
-(`kernels/raster_pallas.py`) + one deferred shading pass; anti-aliasing via
-ordered supersampling (render at kx resolution, box-downsample), replacing
-MSAA.
+tube triangles). TPU-native: one Pallas CSR tile pass produces depth +
+interpolated G-buffer planes (`kernels/raster_pallas.py`), then shading is
+pure elementwise math (`render/pipeline.py:shade_gbuffer`); anti-aliasing
+via ordered supersampling (render at kx resolution, box-downsample),
+replacing MSAA.
 """
 
 from __future__ import annotations
@@ -18,55 +19,35 @@ import jax.numpy as jnp
 import numpy as np
 
 from linevis_tpu.geometry.tubes import TubeMesh
-from linevis_tpu.kernels.binning import compute_edge_coefficients
 from linevis_tpu.kernels.raster_pallas import (
     build_csr_binning,
-    rasterize_depth_pallas,
+    rasterize_gbuffer_pallas,
 )
 from linevis_tpu.kernels.raster_xla import unpack_tiles
 from linevis_tpu.render.camera import Camera
 from linevis_tpu.render.pipeline import (
+    GBUFFER_PLANES,
     RasterSettings,
-    deferred_shade,
-    vertex_stage,
+    build_payload,
+    shade_gbuffer,
+    tube_vertex_stage,
 )
 from linevis_tpu.render.transfer_function import TransferFunction
 
-__all__ = [
-    "render_opaque",
-    "render_opaque_image",
-    "rasterize_visibility",
-    "build_raster_payload",
-]
+__all__ = ["render_opaque", "render_opaque_image", "rasterize_gbuffer"]
+
+_GBUF_KEYS = ["inv_w", "attr_w", "nx", "ny", "nz", "tx", "ty", "tz"]
 
 
-def build_raster_payload(vs) -> jnp.ndarray:
-    """[16, T] payload for the Pallas rasterizer (see raster_pallas docs):
-    edge coefs (0-8), depth plane (9-11), id plane (12-14), zmin (15)."""
-    coefs = compute_edge_coefficients(vs.tri_x, vs.tri_y, vs.tri_z)
-    T = coefs.shape[1]
-    zero = jnp.zeros((2, T), jnp.float32)
-    ids = jnp.arange(T, dtype=jnp.float32)[None, :]
-    zmin = jnp.min(vs.tri_z, axis=0)[None, :]  # front-to-back sort key
-    return jnp.concatenate([coefs, zero, ids, zmin], axis=0)
-
-
-def rasterize_visibility(mesh: TubeMesh, view_proj, settings: RasterSettings):
-    """Shared z-pass: mesh -> (vertex-stage out, tri_id image, overflow)."""
-    vs = vertex_stage(
-        mesh.vertices,
-        mesh.triangles,
-        mesh.triangle_mask,
-        view_proj,
-        settings.width,
-        settings.height,
-    )
-    payload_rows = build_raster_payload(vs)  # [16, T]
+def rasterize_gbuffer(mesh: TubeMesh, view_proj, settings: RasterSettings):
+    """Mesh -> (gbuf dict of [H, W] images, depth, batch, overflow)."""
+    batch = tube_vertex_stage(mesh, view_proj, settings.width, settings.height)
+    payload = build_payload(batch)  # [40, T]
     csr = build_csr_binning(
-        vs.tri_x,
-        vs.tri_y,
-        payload_rows,
-        vs.tri_valid,
+        batch.tri_x,
+        batch.tri_y,
+        payload,
+        batch.tri_valid,
         settings.width,
         settings.height,
         settings.tile_w,
@@ -77,18 +58,21 @@ def rasterize_visibility(mesh: TubeMesh, view_proj, settings: RasterSettings):
         settings.pairs_capacity,
     )
     interpret = jax.default_backend() == "cpu"
-    depth_t, id_t = rasterize_depth_pallas(
-        csr, settings.tile_w, settings.tile_h, interpret=interpret
+    depth_t, id_t, attrs_t = rasterize_gbuffer_pallas(
+        csr, GBUFFER_PLANES, settings.tile_w, settings.tile_h,
+        interpret=interpret,
     )
-    tri_id = unpack_tiles(
-        id_t, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
-        settings.width, settings.height,
-    )
-    depth = unpack_tiles(
-        depth_t, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
-        settings.width, settings.height,
-    )
-    return vs, tri_id, depth, csr.overflow
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+            settings.width, settings.height,
+        )
+
+    gbuf = {"id": unp(id_t)}
+    for key, buf in zip(_GBUF_KEYS, attrs_t):
+        gbuf[key] = unp(buf)
+    return gbuf, unp(depth_t), batch, csr.overflow
 
 
 @partial(jax.jit, static_argnames=("settings",))
@@ -98,24 +82,42 @@ def render_opaque(
     camera_position: jnp.ndarray,
     tf_table: jnp.ndarray,
     settings: RasterSettings,
+    ray_basis: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Render the tube mesh -> [4, H, W] linear RGBA image (channels-first)."""
-    vs, tri_id, _depth, _overflow = rasterize_visibility(mesh, view_proj, settings)
-    # Depth-cue range over visible line geometry (reference
-    # ComputeDepthValuesPass/MinMaxDepthReductionPass, src/Renderers/DepthCues.hpp).
-    big = jnp.float32(3e38)
-    depth_min = jnp.min(jnp.where(mesh.vertex_mask, vs.view_z, big))
-    depth_max = jnp.max(jnp.where(mesh.vertex_mask, vs.view_z, -big))
-    return deferred_shade(
-        tri_id,
-        mesh,
-        vs,
+    gbuf, _depth, batch, _overflow = rasterize_gbuffer(mesh, view_proj, settings)
+    if ray_basis is None:
+        ray_basis = _ray_basis_from_view_proj(view_proj)
+    return shade_gbuffer(
+        gbuf,
         tf_table,
         camera_position,
-        depth_min,
-        depth_max,
+        ray_basis,
+        batch.view_z_min,
+        batch.view_z_max,
         settings,
     )
+
+
+def _ray_basis_from_view_proj(view_proj: jnp.ndarray) -> jnp.ndarray:
+    """Recover the scaled camera ray basis from the view-projection matrix.
+
+    Columns: right * tan(fovx/2), up * tan(fovy/2), forward — such that a
+    pixel with NDC (u, v) has ray direction basis @ [u, v, 1] with unit
+    view-depth (distance along forward).
+    """
+    # view_proj = P @ V. Rows of V: right, up, -forward; P row 3 = (0,0,-1,0),
+    # so view_proj[3, :3] = +forward and clip.w = forward . (p - eye) = view
+    # depth. The x/y rows are right/up scaled by 1/tan half-angles.
+    fwd = view_proj[3, :3]
+    r = view_proj[0, :3]
+    u = view_proj[1, :3]
+    tx = jnp.linalg.norm(r)
+    ty = jnp.linalg.norm(u)
+    right = r / jnp.maximum(tx, 1e-12)
+    up = u / jnp.maximum(ty, 1e-12)
+    fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-12)
+    return jnp.stack([right / tx, up / ty, fwd], axis=1)
 
 
 def render_opaque_image(

@@ -73,9 +73,10 @@ def test_tube_mesh_masking():
     mask[0, 5:] = False  # only 5 valid points -> 4 valid segments
     attrs = np.zeros((1, 8), np.float32)
     mesh = build_tube_triangle_mesh(pos, mask, attrs, num_subdivisions=4)
-    tri_mask = np.asarray(mesh.triangle_mask).reshape(7, 4 * 2)
-    assert tri_mask[:4].all()
-    assert not tri_mask[4:].any()
+    # triangle order is (s, a, l, p): valid iff segment p < 4
+    tri_mask = np.asarray(mesh.triangle_mask).reshape(4, 2, 1, 7)
+    assert tri_mask[:, :, :, :4].all()
+    assert not tri_mask[:, :, :, 4:].any()
 
 
 def test_line_segments():
