@@ -56,6 +56,120 @@ TILE_GROUP = 8  # tiles per grid step; output blocks are [8, P] (sublane rule)
 
 @partial(
     jax.tree_util.register_dataclass,
+    data_fields=["payload", "tile_start", "tile_count"],
+    meta_fields=["tiles_x", "tiles_y", "chunk"],
+)
+@dataclasses.dataclass
+class SortedBinning:
+    """Sort-carried tile binning (no slot gather, no capacity clamp).
+
+    The (tile, primitive) pairs are sorted by a packed (tile, depth-bucket)
+    key with ALL payload rows carried as extra sort operands — on TPU,
+    `lax.sort` cost is nearly independent of operand count, while per-element
+    gathers cost ~10ns each, so carrying the payload through the sort is ~16x
+    cheaper than permuting it afterwards. Each tile's run is then addressed
+    at PAIR granularity: the kernel DMAs chunks from unaligned offsets and
+    masks the tail, so no chunk padding or capacity truncation exists at all.
+
+    payload:    [R, Np + chunk] float32 — tile-sorted pair payload (invalid
+                pairs sort to the end; an extra chunk of padding columns
+                keeps the last tile's DMA in bounds)
+    tile_start: [n_tiles] int32 — first pair of each tile's run
+    tile_count: [n_tiles] int32 — pairs in each tile's run
+    """
+
+    payload: jnp.ndarray
+    tile_start: jnp.ndarray
+    tile_count: jnp.ndarray
+    tiles_x: int
+    tiles_y: int
+    chunk: int
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile_w", "tile_h", "chunk", "span_x", "span_y",
+    ),
+)
+def build_sorted_binning(
+    xmin: jnp.ndarray,  # [T] screen-space bbox per primitive
+    xmax: jnp.ndarray,
+    ymin: jnp.ndarray,
+    ymax: jnp.ndarray,
+    payload_rows: jnp.ndarray,  # [R, T], row 15 = bucket-floored zmin
+    valid: jnp.ndarray,  # [T]
+    width: int,
+    height: int,
+    tile_w: int = 32,
+    tile_h: int = 16,
+    chunk: int = 128,
+    span_x: int = 2,
+    span_y: int = 2,
+) -> SortedBinning:
+    tiles_x = -(-width // tile_w)
+    tiles_y = -(-height // tile_h)
+    num_tiles = tiles_x * tiles_y
+    T = xmin.shape[0]
+    C = chunk
+
+    on_screen = (xmax >= 0) & (ymax >= 0) & (xmin < width) & (ymin < height)
+    covers_x = jnp.floor(xmax - 0.5) >= jnp.ceil(xmin - 0.5)
+    covers_y = jnp.floor(ymax - 0.5) >= jnp.ceil(ymin - 0.5)
+    valid = valid & on_screen & covers_x & covers_y
+
+    tx0 = jnp.clip(jnp.floor(xmin / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    tx1 = jnp.clip(jnp.floor(xmax / tile_w).astype(jnp.int32), 0, tiles_x - 1)
+    ty0 = jnp.clip(jnp.floor(ymin / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+    ty1 = jnp.clip(jnp.floor(ymax / tile_h).astype(jnp.int32), 0, tiles_y - 1)
+
+    dx = jnp.arange(span_x, dtype=jnp.int32)
+    dy = jnp.arange(span_y, dtype=jnp.int32)
+    cand_tx = tx0[None, None, :] + dx[None, :, None]
+    cand_ty = ty0[None, None, :] + dy[:, None, None]
+    in_range = (
+        (cand_tx <= tx1[None, None, :])
+        & (cand_ty <= ty1[None, None, :])
+        & valid[None, None, :]
+    )
+    tile_id = jnp.where(in_range, cand_ty * tiles_x + cand_tx, num_tiles)
+
+    zq = jnp.clip(payload_rows[15] * 1023.0, 0.0, 1023.0).astype(jnp.int32)
+    zq = jnp.broadcast_to(zq[None, None, :], tile_id.shape)
+    key = (tile_id * 1024 + zq).reshape(-1)
+
+    R = payload_rows.shape[0]
+    span = span_x * span_y
+    Np = span * T
+    rows = jnp.broadcast_to(
+        payload_rows[:, None, :], (R, span, T)
+    ).reshape(R, Np)
+    ops = (key,) + tuple(rows[i] for i in range(R))
+    sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=True, num_keys=1)
+    sorted_keys = sorted_ops[0]
+    payload = jnp.stack(sorted_ops[1:], axis=0)  # [R, Np]
+    payload = jnp.pad(payload, ((0, 0), (0, C)))
+
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(
+        sorted_keys, tile_range * 1024, side="left"
+    ).astype(jnp.int32)
+    ends = jnp.searchsorted(
+        sorted_keys, (tile_range + 1) * 1024, side="left"
+    ).astype(jnp.int32)
+
+    return SortedBinning(
+        payload=payload,
+        tile_start=starts,
+        tile_count=ends - starts,
+        tiles_x=tiles_x,
+        tiles_y=tiles_y,
+        chunk=C,
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
     data_fields=["payload", "tile_chunk_base", "tile_num_chunks", "overflow"],
     meta_fields=["tiles_x", "tiles_y", "chunk"],
 )
@@ -78,13 +192,6 @@ class CsrBinning:
     chunk: int
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "width", "height", "tile_w", "tile_h", "chunk", "span_x", "span_y",
-        "pairs_capacity", "depth_sort",
-    ),
-)
 def build_csr_binning(
     tri_x: jnp.ndarray,  # [3, T]
     tri_y: jnp.ndarray,  # [3, T]
@@ -98,26 +205,60 @@ def build_csr_binning(
     span_x: int = 2,
     span_y: int = 2,
     pairs_capacity: int = 0,
+    depth_sort: bool = True,
+) -> CsrBinning:
+    """Triangle front end for `build_csr_binning_bbox` (bbox from corners)."""
+    xmin = jnp.min(tri_x, axis=0)
+    xmax = jnp.max(tri_x, axis=0)
+    ymin = jnp.min(tri_y, axis=0)
+    ymax = jnp.max(tri_y, axis=0)
+    return build_csr_binning_bbox(
+        xmin, xmax, ymin, ymax, payload_rows, valid, width, height,
+        tile_w, tile_h, chunk, span_x, span_y, pairs_capacity, depth_sort,
+        reject_rows=((2, -1.0), (5, -1.0), (8, -1.0), (15, 3.0)),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile_w", "tile_h", "chunk", "span_x", "span_y",
+        "pairs_capacity", "depth_sort", "reject_rows", "slot_major",
+    ),
+)
+def build_csr_binning_bbox(
+    xmin: jnp.ndarray,  # [T] screen-space bbox
+    xmax: jnp.ndarray,
+    ymin: jnp.ndarray,
+    ymax: jnp.ndarray,
+    payload_rows: jnp.ndarray,  # [R, T] per-primitive payload (row 15 = zmin)
+    valid: jnp.ndarray,  # [T]
+    width: int,
+    height: int,
+    tile_w: int = 16,
+    tile_h: int = 8,
+    chunk: int = 128,
+    span_x: int = 2,
+    span_y: int = 2,
+    pairs_capacity: int = 0,
     depth_sort: bool = True,  # front-to-back within tiles (occlusion culling)
+    reject_rows: tuple = ((2, -1.0), (5, -1.0), (8, -1.0), (15, 3.0)),
+    slot_major: bool = False,  # payload [cap_slots, R] instead of [R, chunks, C]
 ) -> CsrBinning:
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
     num_tiles = tiles_x * tiles_y
-    T = tri_x.shape[1]
+    T = xmin.shape[0]
     if pairs_capacity <= 0:
-        # Default capacity policy: ~2 tiles per triangle on average, like the
+        # Default capacity policy: ~2 tiles per primitive on average, like the
         # reference's expected-depth-complexity fragment buffer sizing
         # (PerPixelLinkedListLineRenderer.hpp:44-48). Overflow is counted.
         pairs_capacity = min(span_x * span_y * T, 2 * T + 65536)
     cap_chunks = -(-pairs_capacity // chunk) + num_tiles  # worst-case padding
     C = chunk
 
-    xmin = jnp.min(tri_x, axis=0)
-    xmax = jnp.max(tri_x, axis=0)
-    ymin = jnp.min(tri_y, axis=0)
-    ymax = jnp.max(tri_y, axis=0)
     on_screen = (xmax >= 0) & (ymax >= 0) & (xmin < width) & (ymin < height)
-    # Sub-pixel cull: a triangle whose bbox straddles no pixel center can
+    # Sub-pixel cull: a primitive whose bbox straddles no pixel center can
     # never produce coverage (pixel centers at integer+0.5).
     covers_x = jnp.floor(xmax - 0.5) >= jnp.ceil(xmin - 0.5)
     covers_y = jnp.floor(ymax - 0.5) >= jnp.ceil(ymin - 0.5)
@@ -181,33 +322,49 @@ def build_csr_binning(
     )[:-1]
 
     # Gather-form CSR fill: slot s belongs to tile t(s); its rank within the
-    # tile maps back into the sorted pair array.
+    # tile maps back into the sorted pair array. tile-of-chunk is a step
+    # function of the chunk index: scatter tile starts + cumsum (XLA lowers
+    # searchsorted over millions of queries to a slow while loop; this is a
+    # 2-pass O(cap) computation instead).
     slot = jnp.arange(cap_chunks * C, dtype=jnp.int32)
     slot_chunk = slot // C
-    tile_of_slot = (
-        jnp.searchsorted(base, slot_chunk, side="right").astype(jnp.int32) - 1
+    chunk_marks = jnp.zeros((cap_chunks + 1,), jnp.int32).at[base].add(
+        1, mode="drop"
     )
-    tile_of_slot = jnp.clip(tile_of_slot, 0, num_tiles - 1)
+    tile_of_chunk = jnp.cumsum(chunk_marks[: cap_chunks]) - 1
+    tile_of_slot = jnp.clip(tile_of_chunk[slot_chunk], 0, num_tiles - 1)
     rank = slot - base[tile_of_slot] * C
     slot_valid = (rank >= 0) & (rank < counts[tile_of_slot]) & (
         slot_chunk < base[tile_of_slot] + nchunks[tile_of_slot]
     )
     j = jnp.where(slot_valid, starts[tile_of_slot] + rank, 0)
     tri = jnp.where(slot_valid, sorted_tris[j], 0)
+    # Materialize the index chain once: without a barrier XLA fuses the whole
+    # slot->tri computation (including its gathers) into the payload gather
+    # consumer and recomputes it per payload row.
+    tri, slot_valid = jax.lax.optimization_barrier((tri, slot_valid))
 
     R = payload_rows.shape[0]
     assert R % 8 == 0, "payload rows must be a multiple of 8 (f32 sublanes)"
-    rows = payload_rows[:, tri]  # [R, cap_chunks*C]
-    # Invalid slots get all-rejecting edges (c coefficients = -1) and a far
-    # zmin (padded slots sit at the END of a front-to-back run, so a large
-    # finite value keeps the early-exit key monotone).
-    reject = jnp.zeros((R,), jnp.float32).at[jnp.array([2, 5, 8])].set(-1.0)
-    if R > 15:
-        reject = reject.at[15].set(3.0)
-    rows = jnp.where(slot_valid[None, :], rows, reject[:, None])
-    # Row-major [R, cap_chunks, C] — the kernel DMAs strided row slices, so
-    # no 400MB transpose is needed here.
-    payload = rows.reshape(R, cap_chunks, C)
+    # Invalid slots get primitive-specific rejecting values (e.g. edge c
+    # coefficients = -1 for triangles) and a far zmin (padded slots sit at
+    # the END of a front-to-back run, so a large finite value keeps the
+    # early-exit key monotone).
+    reject = jnp.zeros((R,), jnp.float32)
+    for row, val in reject_rows:
+        if row < R:
+            reject = reject.at[row].set(val)
+    if slot_major:
+        # [cap_slots, R]: one contiguous record per slot (row-gather form —
+        # measurably faster than the axis-1 gather on TPU).
+        recs = payload_rows.T[tri]  # [cap_slots, R]
+        payload = jnp.where(slot_valid[:, None], recs, reject[None, :])
+    else:
+        rows = payload_rows[:, tri]  # [R, cap_chunks*C]
+        rows = jnp.where(slot_valid[None, :], rows, reject[:, None])
+        # Row-major [R, cap_chunks, C] — the kernel DMAs strided row slices,
+        # so no 400MB transpose is needed here.
+        payload = rows.reshape(R, cap_chunks, C)
 
     return CsrBinning(
         payload=payload,

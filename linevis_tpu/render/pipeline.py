@@ -64,6 +64,17 @@ class RasterSettings:
     pairs_capacity: int = 0  # 0 -> heuristic (see build_csr_binning)
     background_color: tuple = (1.0, 1.0, 1.0, 1.0)
     depth_cue_strength: float = 0.0
+    # Transfer function as static control points (pos, r, g, b linear RGB)
+    # and (pos, alpha) — evaluated gather-free (tf_eval_points). Defaults to
+    # the reference's Standard.xml blue-white-red map.
+    tf_color: tuple = (
+        (0.0, 0.04373503, 0.07227185, 0.52711511),
+        (0.25, 0.27889428, 0.44520119, 0.9911021),
+        (0.5, 0.71569347, 0.71569347, 0.71569347),
+        (0.75, 0.91309863, 0.33245152, 0.20507874),
+        (1.0, 0.45641103, 0.00121411, 0.01938236),
+    )
+    tf_opacity: tuple = ((0.0, 1.0), (1.0, 1.0))
 
 
 @jax.tree_util.register_dataclass

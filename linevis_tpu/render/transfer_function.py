@@ -16,7 +16,38 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["TransferFunction", "srgb_to_linear", "linear_to_srgb"]
+__all__ = ["TransferFunction", "srgb_to_linear", "linear_to_srgb", "tf_eval_points"]
+
+
+def tf_eval_points(color_pts, opacity_pts, x: jnp.ndarray):
+    """Gather-free piecewise-linear TF evaluation.
+
+    color_pts: static tuple of (pos, r, g, b) in LINEAR RGB; opacity_pts:
+    static tuple of (pos, a). x [...] in [0, 1] -> (rgb [3, ...], alpha).
+    The loop over control points is unrolled at trace time (K is tiny), so
+    evaluation is pure elementwise math — no LUT gather (TPU gathers cost
+    ~10ns/element).
+    """
+    xc = jnp.clip(x, 0.0, 1.0)
+
+    def eval_channels(pts, nch):
+        outs = [jnp.full(x.shape, float(pts[0][1 + c]), jnp.float32)
+                for c in range(nch)]
+        K = len(pts)
+        for k in range(K - 1):
+            p0 = float(pts[k][0])
+            p1 = float(pts[k + 1][0])
+            seg = (xc >= p0) & (xc <= p1)
+            w = (xc - p0) / max(p1 - p0, 1e-9)
+            for c in range(nch):
+                v0 = float(pts[k][1 + c])
+                v1 = float(pts[k + 1][1 + c])
+                outs[c] = jnp.where(seg, v0 + w * (v1 - v0), outs[c])
+        return outs
+
+    rgb = eval_channels(color_pts, 3)
+    a = eval_channels(opacity_pts, 1)[0]
+    return jnp.stack(rgb, axis=0), a
 
 
 def srgb_to_linear(c):
@@ -34,10 +65,18 @@ def linear_to_srgb(c):
 
 @dataclasses.dataclass
 class TransferFunction:
-    """Baked LUT: table [N, 4] linear-RGB + opacity over position in [0,1]."""
+    """Piecewise-linear TF: control points + baked LUT.
+
+    `color_points_linear` [Kc, 4] (pos, r, g, b in linear RGB) and
+    `opacity_points` [Ko, 2] feed the gather-free elementwise evaluator
+    (`eval_points`, used by shading kernels — TPU gathers are slow);
+    `table` [N, 4] is the baked LUT for generic consumers.
+    """
 
     table: np.ndarray  # [N, 4] float32, linear RGB + alpha
     value_range: Tuple[float, float] = (0.0, 1.0)
+    color_points_linear: np.ndarray = None  # [Kc, 4]
+    opacity_points_np: np.ndarray = None  # [Ko, 2]
 
     RESOLUTION = 256
 
@@ -58,7 +97,14 @@ class TransferFunction:
         for ch in range(3):
             table[:, ch] = np.interp(xs, cp[:, 0], rgb_lin[:, ch])
         table[:, 3] = np.interp(xs, op[:, 0], op[:, 1])
-        return cls(table=table, value_range=value_range)
+        return cls(
+            table=table,
+            value_range=value_range,
+            color_points_linear=np.concatenate(
+                [cp[:, :1], rgb_lin], axis=1
+            ).astype(np.float32),
+            opacity_points_np=op.astype(np.float32),
+        )
 
     @classmethod
     def from_xml(cls, filename: str, value_range=(0.0, 1.0)) -> "TransferFunction":
@@ -105,6 +151,19 @@ class TransferFunction:
                 (1.0, 52, 0, 66),
             ]
         )
+
+    def points_arrays(self):
+        """(color [Kc,4], opacity [Ko,2]) jnp arrays for eval_points."""
+        return (
+            jnp.asarray(self.color_points_linear),
+            jnp.asarray(self.opacity_points_np),
+        )
+
+    def as_static_points(self):
+        """Hashable (color, opacity) point tuples for tf_eval_points."""
+        c = tuple(tuple(float(v) for v in row) for row in self.color_points_linear)
+        o = tuple(tuple(float(v) for v in row) for row in self.opacity_points_np)
+        return c, o
 
     def lookup(self, values: jnp.ndarray) -> jnp.ndarray:
         """Map attribute values [...,] -> RGBA [..., 4] (linear RGB).

@@ -1,0 +1,307 @@
+"""Primary tube renderer: screen-binned analytic capsule rasterization.
+
+Replaces the reference's gather raster pass over triangulated tubes
+(`src/Renderers/OpaqueLineRenderer.cpp` + geometry of
+`src/Renderers/Tubes/Tubes.hpp:40`) with pixel-exact capsules — the
+reference's own linear-swept-sphere RT geometry
+(`VulkanRayTracer.hpp:53-63`) driven by tile binning. See
+`kernels/raster_capsule.py` for the TPU rationale.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linevis_tpu.kernels.raster_capsule import rasterize_capsules_pallas
+from linevis_tpu.kernels.raster_pallas import build_sorted_binning
+from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.render.camera import Camera
+from linevis_tpu.render.lighting import (
+    apply_depth_cue,
+    blinn_phong_shade_tube,
+    normalize3,
+)
+from linevis_tpu.render.pipeline import RasterSettings
+from linevis_tpu.render.transfer_function import TransferFunction
+
+__all__ = ["CapsuleScene", "build_capsule_scene", "render_tubes", "render_tubes_image"]
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["a", "ba", "attr0", "dattr", "mask"],
+    meta_fields=["radius"],
+)
+@dataclasses.dataclass
+class CapsuleScene:
+    """Per-segment SoA for the capsule renderer (channels-first).
+
+    a:     [3, S] segment start points
+    ba:    [3, S] segment vectors (b - a)
+    attr0: [S] attribute at a;  dattr: [S] attr(b) - attr(a)
+    mask:  [S] valid segments
+    radius: float — tube radius (line width / 2, reference
+            `STANDARD_LINE_WIDTH` semantics)
+    """
+
+    a: jnp.ndarray
+    ba: jnp.ndarray
+    attr0: jnp.ndarray
+    dattr: jnp.ndarray
+    mask: jnp.ndarray
+    radius: float
+
+    @property
+    def num_segments(self) -> int:
+        return int(self.a.shape[1])
+
+
+def build_capsule_scene(positions, mask, attrs, radius: float) -> CapsuleScene:
+    """positions [L, P, 3], mask [L, P], attrs [L, P] -> CapsuleScene."""
+    pos = jnp.asarray(positions)
+    L, P = pos.shape[0], pos.shape[1]
+    cf = pos.reshape(L * P, 3).T.reshape(3, L, P)
+    a = cf[:, :, :-1].reshape(3, -1)
+    b = cf[:, :, 1:].reshape(3, -1)
+    m = jnp.asarray(mask)
+    seg_mask = (m[:, :-1] & m[:, 1:]).reshape(-1)
+    at = jnp.asarray(attrs)
+    a0 = at[:, :-1].reshape(-1)
+    a1 = at[:, 1:].reshape(-1)
+    return CapsuleScene(
+        a=a, ba=b - a, attr0=a0, dattr=a1 - a0, mask=seg_mask,
+        radius=float(radius),
+    )
+
+
+def _proj_constants(camera: Camera) -> np.ndarray:
+    """[A, Bc] of z_ndc = A - Bc / view_z for the camera's projection."""
+    n, f = camera.z_near, camera.z_far
+    return np.array([f / (f - n), f * n / (f - n)], np.float32)
+
+
+def _ray_basis(view_proj: jnp.ndarray) -> jnp.ndarray:
+    """[3, 3] columns (right/tan_x, up/tan_y, forward) — see opaque.py."""
+    fwd = view_proj[3, :3]
+    r = view_proj[0, :3]
+    u = view_proj[1, :3]
+    tx = jnp.linalg.norm(r)
+    ty = jnp.linalg.norm(u)
+    return jnp.stack(
+        [
+            r / jnp.maximum(tx * tx, 1e-12),
+            u / jnp.maximum(ty * ty, 1e-12),
+            fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-12),
+        ],
+        axis=1,
+    )
+
+
+def prepare_capsule_frame(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,  # [2] = (A, Bc)
+    settings: RasterSettings,
+    z_near: float = 1e-3,
+):
+    """Project segments, build the CSR binning + kernel params."""
+    o = camera_position
+    a = scene.a
+    b = scene.a + scene.ba
+    r = scene.radius
+
+    def project(p):  # p [3, S] -> (sx, sy, w)
+        clip = view_proj[:3, :3] @ p + view_proj[:3, 3][:, None]
+        w = view_proj[3, :3] @ p + view_proj[3, 3]
+        iw = 1.0 / jnp.where(jnp.abs(w) < z_near, z_near, w)
+        sx = (clip[0] * iw * 0.5 + 0.5) * settings.width
+        sy = (0.5 - clip[1] * iw * 0.5) * settings.height
+        return sx, sy, w
+
+    sxa, sya, wa = project(a)
+    sxb, syb, wb = project(b)
+    wmin = jnp.minimum(wa, wb)
+    valid = scene.mask & (wmin > z_near)
+
+    # Conservative screen-space radius: r scaled by pixels-per-world-unit at
+    # the segment's nearest depth.
+    px_per_unit = jnp.maximum(
+        0.5 * settings.width * jnp.linalg.norm(view_proj[0, :3]),
+        0.5 * settings.height * jnp.linalg.norm(view_proj[1, :3]),
+    )
+    sr = r * px_per_unit / jnp.maximum(wmin - r, z_near)
+    xmin = jnp.minimum(sxa, sxb) - sr
+    xmax = jnp.maximum(sxa, sxb) + sr
+    ymin = jnp.minimum(sya, syb) - sr
+    ymax = jnp.maximum(sya, syb) + sr
+
+    # Payload rows.
+    oa = o[:, None] - a
+    ba = scene.ba
+    baba = jnp.sum(ba * ba, axis=0)
+    baoa = jnp.sum(ba * oa, axis=0)
+    oaoa = jnp.sum(oa * oa, axis=0)
+    ob = oa - ba
+    obob = jnp.sum(ob * ob, axis=0)
+    rr = r * r
+    K0 = baba * oaoa - baoa * baoa - rr * baba
+    Ca = oaoa - rr
+    Cb = obob - rr
+    S = scene.num_segments
+    ids = jnp.arange(S, dtype=jnp.float32)
+    vz_min = jnp.maximum(wmin - r, z_near)
+    zndc_min = proj_ab[0] - proj_ab[1] / vz_min
+    zq = jnp.floor(jnp.clip(zndc_min, 0.0, 1.0) * 1023.0) / 1023.0
+    payload = jnp.stack(
+        [
+            oa[0], oa[1], oa[2],
+            ba[0], ba[1], ba[2],
+            jnp.full((S,), r, jnp.float32),
+            scene.attr0,
+            scene.dattr,
+            ids,
+            baba,
+            baoa,
+            K0,
+            Ca,
+            Cb,
+            zq,
+        ],
+        axis=0,
+    ).astype(jnp.float32)
+
+    csr = build_sorted_binning(
+        xmin, xmax, ymin, ymax, payload, valid,
+        settings.width, settings.height,
+        settings.tile_w, settings.tile_h, settings.chunk,
+        settings.span_x, settings.span_y,
+    )
+
+    basis = _ray_basis(view_proj)  # columns right, up, fwd
+    # params rows 0-8: B row-major where dir_i = B[i,0]*u + B[i,1]*v + B[i,2].
+    params = jnp.concatenate(
+        [basis.reshape(-1), proj_ab, jnp.zeros((5,), jnp.float32)]
+    )
+    return csr, params, basis
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_tubes(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,  # [2]
+    settings: RasterSettings,
+) -> jnp.ndarray:
+    """Render capsules -> [4, H, W] linear RGBA (channels-first)."""
+    csr, params, basis = prepare_capsule_frame(
+        scene, view_proj, camera_position, proj_ab, settings
+    )
+    interpret = jax.default_backend() == "cpu"
+    depth_t, id_t, gbuf_t = rasterize_capsules_pallas(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, interpret=interpret,
+    )
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+            settings.width, settings.height,
+        )
+
+    zndc = unp(depth_t)
+    seg_id = unp(id_t)
+    attr, nx, ny, nz, tx, ty, tz = (unp(b) for b in gbuf_t)
+
+    # Depth-cue range over segment endpoints (reference DepthCues.hpp).
+    w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]
+    big = jnp.float32(3e38)
+    dmin = jnp.min(jnp.where(scene.mask, w_all, big))
+    dmax = jnp.max(jnp.where(scene.mask, w_all, -big))
+
+    return shade_capsules(
+        zndc, seg_id, attr,
+        jnp.stack([nx, ny, nz], axis=0), jnp.stack([tx, ty, tz], axis=0),
+        camera_position, basis, proj_ab, dmin, dmax, settings,
+    )
+
+
+def shade_capsules(
+    zndc, seg_id, attr, normal_raw, tangent_raw, camera_position,
+    ray_basis, proj_ab, depth_min, depth_max, settings: RasterSettings,
+):
+    """Pure elementwise shading from the kernel's G-buffer (no gathers)."""
+    from linevis_tpu.render.transfer_function import tf_eval_points
+
+    H, W = seg_id.shape
+    fg = seg_id >= 0
+
+    # Ray reconstruction for the fragment position.
+    u = (jnp.arange(W, dtype=jnp.float32) + 0.5)[None, :] * (2.0 / W) - 1.0
+    v = 1.0 - (jnp.arange(H, dtype=jnp.float32) + 0.5)[:, None] * (2.0 / H)
+    u = jnp.broadcast_to(u, (H, W))
+    v = jnp.broadcast_to(v, (H, W))
+    d = (
+        ray_basis[:, 0][:, None, None] * u[None]
+        + ray_basis[:, 1][:, None, None] * v[None]
+        + ray_basis[:, 2][:, None, None]
+    )
+    view_z = proj_ab[1] / jnp.maximum(proj_ab[0] - zndc, 1e-9)
+    # d has unit forward component -> pos = o + d * view_z.
+    pos = camera_position[:, None, None] + d * view_z[None]
+
+    normal = normalize3(normal_raw)
+    tangent = normalize3(tangent_raw)
+    rgb, alpha = tf_eval_points(settings.tf_color, settings.tf_opacity, attr)
+
+    color = blinn_phong_shade_tube(rgb, pos, normal, tangent, camera_position)
+    if settings.depth_cue_strength > 0.0:
+        color = apply_depth_cue(
+            color, view_z, depth_min, depth_max, settings.depth_cue_strength
+        )
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    out_rgb = jnp.where(fg[None], color, bg[:3, None, None])
+    out_a = jnp.where(fg, alpha, bg[3])
+    return jnp.concatenate([out_rgb, out_a[None]], axis=0)
+
+
+def render_tubes_image(
+    scene: CapsuleScene,
+    camera: Camera,
+    tf: Optional[TransferFunction] = None,
+    settings: Optional[RasterSettings] = None,
+    supersample: int = 1,
+) -> np.ndarray:
+    """Host convenience wrapper -> numpy [H, W, 4] linear RGBA."""
+    settings = settings or RasterSettings(width=camera.width, height=camera.height)
+    cam = camera
+    s = settings
+    if supersample > 1:
+        s = dataclasses.replace(
+            settings, width=settings.width * supersample,
+            height=settings.height * supersample,
+        )
+        cam = dataclasses.replace(camera, width=s.width, height=s.height)
+    if tf is not None:
+        c_pts, o_pts = tf.as_static_points()
+        s = dataclasses.replace(s, tf_color=c_pts, tf_opacity=o_pts)
+    img = render_tubes(
+        scene,
+        jnp.asarray(cam.view_projection_matrix()),
+        jnp.asarray(np.asarray(camera.position, np.float32)),
+        jnp.asarray(_proj_constants(camera)),
+        s,
+    )
+    img = np.moveaxis(np.asarray(img), 0, -1)
+    if supersample > 1:
+        k = supersample
+        H, W = settings.height, settings.width
+        img = img.reshape(H, k, W, k, 4).mean(axis=(1, 3))
+    return img
