@@ -1,0 +1,438 @@
+"""Order-independent transparency kernels over binned capsules.
+
+TPU-native replacement for the reference's OIT zoo (`src/Renderers/OIT/*`):
+instead of per-pixel linked lists built with atomics and sorted in a
+resolve pass (PPLL, `LinkedListGather.glsl:33-73`), fragments are
+generated in front-to-back run order (the CSR runs are z-bucket sorted)
+and inserted into a fixed-K per-pixel node array held in VMEM — the
+Multi-Layer Alpha Blending model of the reference's `MLABRenderer`
+(`src/Renderers/OIT/MLABRenderer.*`: K nodes, insertion sort, overflow
+composited into the last node), but with no atomics or fragment-shader
+interlock: each tile is owned by one kernel instance, so insertion is
+race-free and deterministic by construction (SURVEY §5 "race detection").
+
+With K >= scene depth complexity the result equals exact sorted blending,
+i.e. the reference's PPLL resolve; K=8 matches MLAB defaults.
+
+Fragments are SHADED at generation (Blinn-Phong tube shading with the
+camera headlight: light == view == -ray, so no world positions are
+needed); the transfer function is unrolled from static control points.
+Each capsule contributes its entry AND exit surface (the reference
+rasterizes both tube faces — no backface culling in the gather pass).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from linevis_tpu.kernels.raster_pallas import TILE_GROUP, SortedBinning
+
+__all__ = ["rasterize_capsules_mlab"]
+
+_BIG = 1e30
+
+
+def _tf_eval_static(tf_color, tf_opacity, x):
+    """Unrolled piecewise-linear TF (see transfer_function.tf_eval_points)."""
+    xc = jnp.clip(x, 0.0, 1.0)
+
+    def channels(pts, nch):
+        outs = [jnp.full(x.shape, float(pts[0][1 + c]), jnp.float32)
+                for c in range(nch)]
+        for k in range(len(pts) - 1):
+            p0, p1 = float(pts[k][0]), float(pts[k + 1][0])
+            seg = (xc >= p0) & (xc <= p1)
+            w = (xc - p0) / max(p1 - p0, 1e-9)
+            for c in range(nch):
+                v0, v1 = float(pts[k][1 + c]), float(pts[k + 1][1 + c])
+                outs[c] = jnp.where(seg, v0 + w * (v1 - v0), outs[c])
+        return outs
+
+    rgb = channels(tf_color, 3)
+    a = channels(tf_opacity, 1)[0]
+    return rgb, a
+
+
+def _mlab_kernel(
+    count_ref,
+    start_ref,
+    params_ref,  # [16]: ray basis 0-8, zA 9, zB 10, dmin 11, dmax 12,
+    #                    depth_cue_strength 13, opacity_scale 14
+    payload_hbm,  # [16, Np + C]
+    *refs,
+    tile_w: int,
+    tile_h: int,
+    tiles_x: int,
+    chunk: int,
+    width: int,
+    height: int,
+    K: int,
+    tf_color: tuple,
+    tf_opacity: tuple,
+    use_bands: bool,
+):
+    n_out = 5 * K
+    out = refs[:n_out]
+    coef_scr, sem = refs[n_out], refs[n_out + 1]
+    d_refs = out[0:K]
+    r_refs = out[K : 2 * K]
+    g_refs = out[2 * K : 3 * K]
+    b_refs = out[3 * K : 4 * K]
+    a_refs = out[4 * K : 5 * K]
+
+    gi = pl.program_id(0)
+    C = chunk
+    P = tile_w * tile_h
+
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    ly = (lin // tile_w).astype(jnp.float32)
+    lx = (lin % tile_w).astype(jnp.float32)
+
+    for dref in d_refs:
+        dref[:] = jnp.full(dref.shape, 2.0, jnp.float32)
+    for cref in (*r_refs, *g_refs, *b_refs, *a_refs):
+        cref[:] = jnp.zeros(cref.shape, jnp.float32)
+
+    zA = params_ref[9]
+    zB = params_ref[10]
+    dmin = params_ref[11]
+    dmax = params_ref[12]
+    cue = params_ref[13]
+    opacity_scale = params_ref[14]
+
+    for k in range(TILE_GROUP):
+        t = gi * TILE_GROUP + k
+        count = count_ref[t]
+        base = start_ref[t]
+        b0 = base // C
+        nch = jnp.where(count > 0, (base + count + C - 1) // C - b0, 0)
+        ty = (t // tiles_x).astype(jnp.float32)
+        tx = (t % tiles_x).astype(jnp.float32)
+        gx = tx * tile_w + lx + 0.5
+        gy = ty * tile_h + ly + 0.5
+        un = gx * (2.0 / width) - 1.0
+        vn = 1.0 - gy * (2.0 / height)
+        dx = params_ref[0] * un + params_ref[1] * vn + params_ref[2]
+        dy = params_ref[3] * un + params_ref[4] * vn + params_ref[5]
+        dz = params_ref[6] * un + params_ref[7] * vn + params_ref[8]
+        invlen = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+        dn = jnp.concatenate([dx * invlen, dy * invlen, dz * invlen], axis=0)
+
+        def get_dma(slot, c, b0=b0):
+            start = pl.multiple_of((b0 + c) * C, C)
+            return pltpu.make_async_copy(
+                payload_hbm.at[:, pl.ds(start, C)], coef_scr.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(nch > 0)
+        def _(nch=nch, count=count, base=base, b0=b0, dn=dn, invlen=invlen,
+              k=k, get_dma=get_dma):
+            get_dma(0, 0).start()
+
+            def cond(state):
+                c, _ = state
+                return c < nch
+
+            def body(state):
+                c, zK_prev = state
+                slot = jax.lax.rem(c, 2)
+                get_dma(slot, c).wait()
+                coef = coef_scr[slot]  # [16, C]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+                glob = (b0 + c) * C + lane
+                in_run = (glob >= base) & (glob < base + count)
+                chunk_zmin = jnp.min(jnp.where(in_run, coef[15:16, :].T, 3.0))
+                # Early exit: later fragments can only merge into the last
+                # node; once the K-buffer's worst depth is nearer than all
+                # remaining fragments AND saturated, stop (MLAB truncation).
+                exit_now = chunk_zmin > zK_prev
+
+                @pl.when(jnp.logical_not(exit_now))
+                def _():
+                    @pl.when(c + 1 < nch)
+                    def _():
+                        get_dma(1 - slot, c + 1).start()
+
+                    def scal(r):
+                        return coef[r : r + 1, :].T
+
+                    def dot_dn(r):
+                        return (
+                            scal(r) * dn[0:1, :]
+                            + scal(r + 1) * dn[1:2, :]
+                            + scal(r + 2) * dn[2:3, :]
+                        )
+
+                    bard = dot_dn(3)
+                    rdoa = dot_dn(0)
+                    baba = scal(10)
+                    rr = scal(6) * scal(6)
+                    t0 = -(rdoa + 0.5 * bard)
+                    oax = scal(0) + t0 * dn[0:1, :]
+                    oay = scal(1) + t0 * dn[1:2, :]
+                    oaz = scal(2) + t0 * dn[2:3, :]
+                    baoa = scal(3) * oax + scal(4) * oay + scal(5) * oaz
+                    oaoa = oax * oax + oay * oay + oaz * oaz
+                    rd = rdoa + t0
+
+                    k2 = jnp.maximum(baba - bard * bard, 1e-20)
+                    k1 = baba * rd - baoa * bard
+                    k0 = baba * oaoa - baoa * baoa - rr * baba
+                    h = k1 * k1 - k2 * k0
+                    sq = jnp.sqrt(jnp.maximum(h, 0.0))
+                    ha = rd * rd - (oaoa - rr)
+                    sqa = jnp.sqrt(jnp.maximum(ha, 0.0))
+                    b1b = rd - bard
+                    obob = oaoa - 2.0 * baoa + baba
+                    hb = b1b * b1b - (obob - rr)
+                    sqb = jnp.sqrt(jnp.maximum(hb, 0.0))
+
+                    def cand(tp, ok):
+                        ok = ok & in_run & (t0 + tp > 0.0)
+                        return jnp.where(ok, tp, _BIG)
+
+                    def body_ok(tp, disc):
+                        y = baoa + tp * bard
+                        return (disc >= 0.0) & (y > 0.0) & (y < baba)
+
+                    def capa_ok(tp, disc):
+                        y = baoa + tp * bard
+                        return (disc >= 0.0) & (y <= 0.0)
+
+                    def capb_ok(tp, disc):
+                        y = baoa + tp * bard
+                        return (disc >= 0.0) & (y >= baba)
+
+                    def surface_t(near):
+                        s_ = -1.0 if near else 1.0
+                        tb = (-k1 + s_ * sq) / k2
+                        ta = -rd + s_ * sqa
+                        tc = -b1b + s_ * sqb
+                        return jnp.minimum(
+                            cand(tb, body_ok(tb, h)),
+                            jnp.minimum(
+                                cand(ta, capa_ok(ta, ha)),
+                                cand(tc, capb_ok(tc, hb)),
+                            ),
+                        )
+
+                    t_in = surface_t(True)  # [C, P] relative t
+                    t_out = surface_t(False)
+
+                    def two(x):
+                        return jnp.concatenate([x, x], axis=0)
+
+                    tcand = jnp.concatenate([t_in, t_out], axis=0)  # [2C, P]
+                    # Shade ALL candidates once (headlight Blinn-Phong).
+                    baoa2, baba2, bard2 = two(baoa), two(baba), two(bard)
+                    a72 = two(scal(7) + 0.0 * baoa)
+                    a82 = two(scal(8) + 0.0 * baoa)
+                    y2 = baoa2 + tcand * bard2
+                    uax = jnp.clip(y2 / baba2, 0.0, 1.0)
+                    attr = (
+                        two(scal(7) + 0.0 * baoa)
+                        + two(scal(8) + 0.0 * baoa) * uax
+                    )
+                    inv_r = pl.reciprocal(
+                        jnp.maximum(two(scal(6) + 0.0 * baoa), 1e-12),
+                        approx=True,
+                    )
+                    dn0, dn1, dn2 = dn[0:1, :], dn[1:2, :], dn[2:3, :]
+                    nx = (tcand * dn0 + two(oax) - two(scal(3) + 0.0 * baoa) * uax) * inv_r
+                    ny = (tcand * dn1 + two(oay) - two(scal(4) + 0.0 * baoa) * uax) * inv_r
+                    nz = (tcand * dn2 + two(oaz) - two(scal(5) + 0.0 * baoa) * uax) * inv_r
+                    ndl = -(nx * dn0 + ny * dn1 + nz * dn2)
+                    tnorm = jax.lax.rsqrt(jnp.maximum(baba2, 1e-20))
+                    tdl = -(
+                        two(scal(3) + 0.0 * baoa) * dn0
+                        + two(scal(4) + 0.0 * baoa) * dn1
+                        + two(scal(5) + 0.0 * baoa) * dn2
+                    ) * tnorm
+                    # n.t is nonzero on the sphere caps; full projection of
+                    # the light onto the plane orthogonal to the tangent:
+                    # cos2 = |n.l - (l.t)(n.t)| / sqrt(1 - (l.t)^2).
+                    ndt = (
+                        nx * two(scal(3) + 0.0 * baoa)
+                        + ny * two(scal(4) + 0.0 * baoa)
+                        + nz * two(scal(5) + 0.0 * baoa)
+                    ) * tnorm
+                    denom = jax.lax.rsqrt(jnp.maximum(1.0 - tdl * tdl, 1e-6))
+                    cos1 = jnp.clip(jnp.abs(ndl), 0.0, 1.0)
+                    cos2_ = jnp.clip(jnp.abs(ndl - tdl * ndt) * denom, 0.0, 1.0)
+                    e = 1.0 if use_bands else 1.7
+                    cosc = 0.3 * cos1**e + 0.7 * cos2_**e
+                    spec = 0.3 * cos1**30.0
+                    rgb, alpha = _tf_eval_static(tf_color, tf_opacity, attr)
+                    shade_f = 0.1 + 0.9 * cosc
+                    tw = jnp.where(tcand < _BIG, two(t0) + tcand, _BIG)
+                    vzf = tw * invlen
+                    fcue = jnp.clip(
+                        (vzf - dmin) / jnp.maximum(dmax - dmin, 1e-6), 0.0, 1.0
+                    )
+                    fcue = fcue * fcue * cue
+                    ac = alpha * opacity_scale
+                    rc = (rgb[0] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
+                    gc = (rgb[1] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
+                    bc = (rgb[2] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
+
+                    # K nearest extractions + insertion into the node array.
+                    for _slot in range(K):
+                        bt = jnp.min(tw, axis=0, keepdims=True)  # [1, P]
+                        has = bt < _BIG
+                        win = tw <= bt
+                        # Exact ties are duplicated geometry (coincident caps
+                        # of adjacent segments): average them, which both
+                        # breaks the tie and dedups the joint (the reference
+                        # tube mesh has a single shared surface there).
+                        nwin = jnp.maximum(
+                            jnp.sum(
+                                jnp.where(win, 1.0, 0.0), axis=0, keepdims=True
+                            ),
+                            1.0,
+                        )
+
+                        def sel(v, win=win, nwin=nwin):
+                            return (
+                                jnp.sum(
+                                    jnp.where(win, v, 0.0), axis=0,
+                                    keepdims=True,
+                                )
+                                / nwin
+                            )
+
+                        vz = bt * invlen
+                        znd = jnp.where(
+                            has, zA - zB / jnp.maximum(vz, 1e-12), 2.0
+                        )
+                        sa = sel(ac)
+                        carry = (
+                            znd,
+                            sel(rc) * sa,
+                            sel(gc) * sa,
+                            sel(bc) * sa,
+                            sa,
+                        )
+                        for j in range(K):
+                            dj = d_refs[j][k : k + 1, :]
+                            take = has & (carry[0] < dj)
+                            cur = (
+                                dj,
+                                r_refs[j][k : k + 1, :],
+                                g_refs[j][k : k + 1, :],
+                                b_refs[j][k : k + 1, :],
+                                a_refs[j][k : k + 1, :],
+                            )
+                            d_refs[j][k : k + 1, :] = jnp.where(take, carry[0], cur[0])
+                            r_refs[j][k : k + 1, :] = jnp.where(take, carry[1], cur[1])
+                            g_refs[j][k : k + 1, :] = jnp.where(take, carry[2], cur[2])
+                            b_refs[j][k : k + 1, :] = jnp.where(take, carry[3], cur[3])
+                            a_refs[j][k : k + 1, :] = jnp.where(take, carry[4], cur[4])
+                            carry = tuple(
+                                jnp.where(take, cur[i], carry[i])
+                                for i in range(5)
+                            )
+                        # Evicted fragment: composite into the last node
+                        # (MLAB overflow merge), weighted by its remaining
+                        # transmittance under the node.
+                        evict_has = has & (carry[0] < 2.0)
+                        aK = a_refs[K - 1][k : k + 1, :]
+                        w = jnp.where(evict_has, 1.0 - aK, 0.0)
+                        r_refs[K - 1][k : k + 1, :] += w * carry[1]
+                        g_refs[K - 1][k : k + 1, :] += w * carry[2]
+                        b_refs[K - 1][k : k + 1, :] += w * carry[3]
+                        a_refs[K - 1][k : k + 1, :] = jnp.minimum(
+                            aK + w * carry[4], 1.0
+                        )
+                        tw = jnp.where(win, _BIG, tw)
+
+                zK = jnp.max(d_refs[K - 1][k : k + 1, :])
+                c_next = jnp.where(exit_now, nch, c + 1)
+                return (c_next, zK)
+
+            jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(2.0)))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
+        "use_bands", "interpret",
+    ),
+)
+def rasterize_capsules_mlab(
+    csr: SortedBinning,
+    params: jnp.ndarray,  # [16]
+    width: int,
+    height: int,
+    tile_w: int = 32,
+    tile_h: int = 16,
+    K: int = 8,
+    tf_color: tuple = (),
+    tf_opacity: tuple = ((0.0, 1.0), (1.0, 1.0)),
+    use_bands: bool = False,
+    interpret: bool = False,
+):
+    """MLAB-K transparency pass.
+
+    Returns (depths [K, n_tiles, P], premultiplied rgb [3, K, n_tiles, P],
+    alpha [K, n_tiles, P]). Empty nodes have depth 2.0 and alpha 0.
+    """
+    n_tiles = csr.tile_start.shape[0]
+    C = csr.chunk
+    R = csr.payload.shape[0]
+    P = tile_w * tile_h
+    n_pad = -(-n_tiles // TILE_GROUP) * TILE_GROUP
+    counts = jnp.pad(csr.tile_count, (0, n_pad - n_tiles))
+    starts = jnp.pad(csr.tile_start, (0, n_pad - n_tiles))
+    n_out = 5 * K
+
+    kernel = functools.partial(
+        _mlab_kernel,
+        tile_w=tile_w,
+        tile_h=tile_h,
+        tiles_x=csr.tiles_x,
+        chunk=C,
+        width=width,
+        height=height,
+        K=K,
+        tf_color=tf_color,
+        tf_opacity=tf_opacity,
+        use_bands=use_bands,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_pad // TILE_GROUP,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(
+                (TILE_GROUP, P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((2, R, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, P), jnp.float32)] * n_out,
+        interpret=interpret,
+    )(counts, starts, params, csr.payload)
+    outs = [o[:n_tiles] for o in outs]
+    depths = jnp.stack(outs[0:K], axis=0)
+    rgb = jnp.stack(
+        [jnp.stack(outs[K : 2 * K], 0), jnp.stack(outs[2 * K : 3 * K], 0),
+         jnp.stack(outs[3 * K : 4 * K], 0)],
+        axis=0,
+    )
+    alpha = jnp.stack(outs[4 * K : 5 * K], axis=0)
+    return depths, rgb, alpha

@@ -1,0 +1,76 @@
+"""MLAB transparency tests vs exact back-to-front blending."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from linevis_tpu.render.camera import Camera
+from linevis_tpu.render.oit import render_tubes_mlab_image
+from linevis_tpu.render.pipeline import RasterSettings
+from linevis_tpu.render.tube_raster import build_capsule_scene
+
+W, H = 64, 32
+
+
+def _layered_scene(n=4):
+    """n parallel horizontal tubes stacked in depth, all crossing center."""
+    pos = np.zeros((n, 2, 3), np.float32)
+    for i in range(n):
+        pos[i, 0] = (-0.4, 0.0, 0.1 * i)
+        pos[i, 1] = (0.4, 0.0, 0.1 * i)
+    mask = np.ones((n, 2), bool)
+    attrs = np.linspace(0.1, 0.9, n, dtype=np.float32)[:, None].repeat(2, 1)
+    return build_capsule_scene(pos, mask, attrs, radius=0.06)
+
+
+def _settings():
+    return RasterSettings(width=W, height=H, tile_w=16, tile_h=8, chunk=16,
+                          span_x=4, span_y=4)
+
+
+def test_mlab_center_blend_matches_manual():
+    n = 3
+    scene = _layered_scene(n)
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    opacity = 0.4
+    img = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=opacity)
+    px = img[H // 2, W // 2]
+    assert np.isfinite(img).all()
+    # All 3 tubes + white background along the center ray. Each tube
+    # contributes entry+exit fragments (2 per tube) with alpha = opacity.
+    T = (1.0 - opacity) ** (2 * n)
+    # Alpha channel = total coverage.
+    assert abs(px[3] - (1.0 - T)) < 1e-3, px
+    # Front tube is nearest to the camera (z = 0.2 tube is at index n-1).
+    # Background visible through: color must be strictly between the pure
+    # front-tube color and white.
+    assert (px[:3] < 1.0).all()
+
+
+def test_mlab_opaque_limit_matches_opaque():
+    """opacity=1 -> first fragment wins; compare against the opaque renderer."""
+    from linevis_tpu.render.tube_raster import render_tubes_image
+
+    scene = _layered_scene(3)
+    cam = Camera(position=(0.1, 0.05, 1.5), width=W, height=H)
+    S = _settings()
+    img_t = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=1.0)
+    img_o = render_tubes_image(scene, cam, settings=S)
+    # Colors match wherever both cover (modulo fp): transparent path shades
+    # identically at alpha=1.
+    cov_t = img_t[..., 3] > 0.5
+    cov_o = (img_o[..., :3] < 0.999).any(-1)
+    agree = cov_t == cov_o
+    assert agree.mean() > 0.98
+    both = cov_t & cov_o
+    diff = np.abs(img_t[..., :3] - img_o[..., :3])[both]
+    assert diff.max() < 2e-2, diff.max()
+
+
+def test_mlab_deterministic():
+    scene = _layered_scene(4)
+    cam = Camera(position=(0.0, 0.1, 1.4), width=W, height=H)
+    S = _settings()
+    a = render_tubes_mlab_image(scene, cam, settings=S, K=4)
+    b = render_tubes_mlab_image(scene, cam, settings=S, K=4)
+    np.testing.assert_array_equal(a, b)
