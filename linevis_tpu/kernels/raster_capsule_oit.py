@@ -76,6 +76,8 @@ def _mlab_kernel(
     tf_color: tuple,
     tf_opacity: tuple,
     use_bands: bool,
+    store_mode: str,  # 'shade' | 'gather' (opacity-optimization importance)
+    alpha_from_rows: bool,  # alpha = row11 + row12*u (per-segment opacities)
 ):
     n_out = 5 * K
     out = refs[:n_out]
@@ -269,18 +271,35 @@ def _mlab_kernel(
                     e = 1.0 if use_bands else 1.7
                     cosc = 0.3 * cos1**e + 0.7 * cos2_**e
                     spec = 0.3 * cos1**30.0
-                    rgb, alpha = _tf_eval_static(tf_color, tf_opacity, attr)
-                    shade_f = 0.1 + 0.9 * cosc
                     tw = jnp.where(tcand < _BIG, two(t0) + tcand, _BIG)
-                    vzf = tw * invlen
-                    fcue = jnp.clip(
-                        (vzf - dmin) / jnp.maximum(dmax - dmin, 1e-6), 0.0, 1.0
-                    )
-                    fcue = fcue * fcue * cue
-                    ac = alpha * opacity_scale
-                    rc = (rgb[0] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
-                    gc = (rgb[1] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
-                    bc = (rgb[2] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
+                    if store_mode == "gather":
+                        # Opacity-optimization gather pass: store importance
+                        # g_i and segment id instead of shaded color
+                        # (reference GeometryPassOpacities.glsl).
+                        rc = attr
+                        gc = two(scal(9) + 0.0 * baoa)  # segment id
+                        bc = jnp.zeros_like(attr)
+                        ac = jnp.ones_like(attr)
+                    else:
+                        rgb, alpha = _tf_eval_static(tf_color, tf_opacity, attr)
+                        shade_f = 0.1 + 0.9 * cosc
+                        vzf = tw * invlen
+                        fcue = jnp.clip(
+                            (vzf - dmin) / jnp.maximum(dmax - dmin, 1e-6),
+                            0.0, 1.0,
+                        )
+                        fcue = fcue * fcue * cue
+                        if alpha_from_rows:
+                            ac = jnp.clip(
+                                two(scal(11) + 0.0 * baoa)
+                                + two(scal(12) + 0.0 * baoa) * uax,
+                                0.0, 1.0,
+                            )
+                        else:
+                            ac = alpha * opacity_scale
+                        rc = (rgb[0] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
+                        gc = (rgb[1] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
+                        bc = (rgb[2] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
 
                     # K nearest extractions + insertion into the node array.
                     for _slot in range(K):
@@ -312,13 +331,16 @@ def _mlab_kernel(
                             has, zA - zB / jnp.maximum(vz, 1e-12), 2.0
                         )
                         sa = sel(ac)
-                        carry = (
-                            znd,
-                            sel(rc) * sa,
-                            sel(gc) * sa,
-                            sel(bc) * sa,
-                            sa,
-                        )
+                        if store_mode == "gather":
+                            carry = (znd, sel(rc), sel(gc), sel(bc), sa)
+                        else:
+                            carry = (
+                                znd,
+                                sel(rc) * sa,
+                                sel(gc) * sa,
+                                sel(bc) * sa,
+                                sa,
+                            )
                         for j in range(K):
                             dj = d_refs[j][k : k + 1, :]
                             take = has & (carry[0] < dj)
@@ -363,7 +385,7 @@ def _mlab_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
-        "use_bands", "interpret",
+        "use_bands", "store_mode", "alpha_from_rows", "interpret",
     ),
 )
 def rasterize_capsules_mlab(
@@ -377,6 +399,8 @@ def rasterize_capsules_mlab(
     tf_color: tuple = (),
     tf_opacity: tuple = ((0.0, 1.0), (1.0, 1.0)),
     use_bands: bool = False,
+    store_mode: str = "shade",
+    alpha_from_rows: bool = False,
     interpret: bool = False,
 ):
     """MLAB-K transparency pass.
@@ -405,6 +429,8 @@ def rasterize_capsules_mlab(
         tf_color=tf_color,
         tf_opacity=tf_opacity,
         use_bands=use_bands,
+        store_mode=store_mode,
+        alpha_from_rows=alpha_from_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

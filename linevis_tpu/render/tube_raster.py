@@ -110,6 +110,7 @@ def prepare_capsule_frame(
     proj_ab: jnp.ndarray,  # [2] = (A, Bc)
     settings: RasterSettings,
     z_near: float = 1e-3,
+    seg_alpha: jnp.ndarray = None,  # [2, S] (alpha0, dalpha) rows 11-12
 ):
     """Project segments, build the CSR binning + kernel params."""
     o = camera_position
@@ -146,12 +147,10 @@ def prepare_capsule_frame(
     oa = o[:, None] - a
     ba = scene.ba
     baba = jnp.sum(ba * ba, axis=0)
-    baoa = jnp.sum(ba * oa, axis=0)
     oaoa = jnp.sum(oa * oa, axis=0)
     ob = oa - ba
     obob = jnp.sum(ob * ob, axis=0)
     rr = r * r
-    K0 = baba * oaoa - baoa * baoa - rr * baba
     Ca = oaoa - rr
     Cb = obob - rr
     S = scene.num_segments
@@ -159,6 +158,11 @@ def prepare_capsule_frame(
     vz_min = jnp.maximum(wmin - r, z_near)
     zndc_min = proj_ab[0] - proj_ab[1] / vz_min
     zq = jnp.floor(jnp.clip(zndc_min, 0.0, 1.0) * 1023.0) / 1023.0
+    if seg_alpha is None:
+        alpha0 = jnp.ones((S,), jnp.float32)
+        dalpha = jnp.zeros((S,), jnp.float32)
+    else:
+        alpha0, dalpha = seg_alpha[0], seg_alpha[1]
     payload = jnp.stack(
         [
             oa[0], oa[1], oa[2],
@@ -168,8 +172,8 @@ def prepare_capsule_frame(
             scene.dattr,
             ids,
             baba,
-            baoa,
-            K0,
+            alpha0,  # row 11: per-segment alpha (opacity optimization)
+            dalpha,  # row 12
             Ca,
             Cb,
             zq,
