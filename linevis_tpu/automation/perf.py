@@ -1,0 +1,132 @@
+"""Automatic performance measurement: state sweeps + camera flight + CSV.
+
+Reference: `src/Utils/AutomaticPerformanceMeasurer.*` and the
+`InternalState` test-mode matrices (`src/Utils/InternalState.hpp:171-199`,
+`getTestModes` in InternalState.cpp). Each state = {dataset, rendering
+mode, renderer settings, dataset settings, resolution}; the measurer
+drives a camera flight per state and writes a CSV with the reference's
+column schema (`AutomaticPerformanceMeasurer.cpp:230-279`): state name,
+average time, FPS average / 5% / 95% percentiles / stddev.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import math
+import time
+from typing import Callable, List, Optional, Tuple
+
+import numpy as np
+
+from linevis_tpu.core.settings import SettingsMap
+from linevis_tpu.render.camera import Camera
+from linevis_tpu.render.renderer import create_renderer
+
+__all__ = ["InternalState", "AutomaticPerformanceMeasurer", "circle_flight"]
+
+
+@dataclasses.dataclass
+class InternalState:
+    """One benchmark state (reference InternalState.hpp:171-199)."""
+
+    name: str = ""
+    dataset: str = ""
+    rendering_mode: str = "Opaque"
+    renderer_settings: Optional[SettingsMap] = None
+    dataset_settings: Optional[SettingsMap] = None
+    window_size: Tuple[int, int] = (1920, 1080)
+
+
+def circle_flight(t: float, radius: float = 1.2, height: float = 0.1,
+                  period: float = 16.0) -> Tuple[float, float, float]:
+    """Circular camera path around the origin (the reference's default
+    camera flight when no .binpath exists, MainApp.cpp:2483-2497)."""
+    a = 2.0 * math.pi * t / period
+    return (radius * math.sin(a), height, radius * math.cos(a))
+
+
+class AutomaticPerformanceMeasurer:
+    """Drives the state list and writes the benchmark CSV."""
+
+    CSV_COLUMNS = [
+        "State Name",
+        "Data Set Name",
+        "Device Name",
+        "Resolution",
+        "Average Time (ms)",
+        "Average FPS",
+        "5% Percentile FPS",
+        "95% Percentile FPS",
+        "StdDev FPS",
+        "Frames",
+    ]
+
+    def __init__(
+        self,
+        states: List[InternalState],
+        dataset_loader: Callable[[str], object],
+        csv_path: str = "performance.csv",
+        flight_seconds: float = 4.0,
+        fps_target: float = 10.0,
+        device_name: str = "TPU v5e",
+    ):
+        self.states = states
+        self.dataset_loader = dataset_loader
+        self.csv_path = csv_path
+        self.flight_seconds = flight_seconds
+        self.fps_target = fps_target
+        self.device_name = device_name
+        self.per_frame_rows: List[dict] = []
+
+    def run(self) -> List[dict]:
+        import jax
+
+        rows = []
+        datasets = {}
+        for state in self.states:
+            if state.dataset not in datasets:
+                datasets[state.dataset] = self.dataset_loader(state.dataset)
+            line_data = datasets[state.dataset]
+            renderer = create_renderer(state.rendering_mode, state.renderer_settings)
+            renderer.set_line_data(line_data)
+            if state.dataset_settings is not None:
+                line_data.set_new_settings(state.dataset_settings)
+            w, h = state.window_size
+            n_frames = max(int(self.flight_seconds * self.fps_target), 2)
+            frame_times = []
+            for i in range(n_frames):
+                t = i / self.fps_target
+                pos = circle_flight(t)
+                cam = Camera(position=pos, width=w, height=h)
+                t0 = time.time()
+                img = renderer.render(cam)
+                # Force execution (axon dispatch is lazy).
+                _ = float(np.asarray(img[:: max(h // 4, 1), :: max(w // 4, 1)]).sum())
+                dt = time.time() - t0
+                if i > 0:  # skip compile frame
+                    frame_times.append(dt)
+                    self.per_frame_rows.append(
+                        {"state": state.name, "frame": i, "time_ms": dt * 1000.0}
+                    )
+            ft = np.array(frame_times)
+            fps = 1.0 / ft
+            rows.append(
+                {
+                    "State Name": state.name,
+                    "Data Set Name": state.dataset,
+                    "Device Name": self.device_name,
+                    "Resolution": f"{w}x{h}",
+                    "Average Time (ms)": round(float(ft.mean() * 1000.0), 3),
+                    "Average FPS": round(float(fps.mean()), 3),
+                    "5% Percentile FPS": round(float(np.percentile(fps, 5)), 3),
+                    "95% Percentile FPS": round(float(np.percentile(fps, 95)), 3),
+                    "StdDev FPS": round(float(fps.std()), 3),
+                    "Frames": len(frame_times),
+                }
+            )
+        with open(self.csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self.CSV_COLUMNS)
+            writer.writeheader()
+            writer.writerows(rows)
+        return rows

@@ -1,0 +1,231 @@
+"""Replay scripting: the `g.*` API driving datasets, renderers, cameras.
+
+Reference: `src/Widgets/ReplayWidget.*` embeds CPython and exposes a
+module `g` with setters recorded into keyframed states
+(`ReplayWidget.cpp:576-624`): set_dataset, set_renderer,
+set_rendering_algorithm_settings, set_dataset_settings,
+set_camera_position / set_camera_look_at / set_camera_yaw_pitch,
+set_camera_checkpoint, set_duration (keyframe interval with linear
+interpolation of numeric settings and slerp for orientations,
+`ReplayWidget.hpp:128-160`), set_transfer_function, save_screenshot.
+
+The rebuild is Python-first, so replay scripts simply `exec` with an
+injected `g` object; `run()` steps through the keyframe timeline rendering
+interpolated frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from linevis_tpu.core.settings import SettingsMap
+from linevis_tpu.render.camera import Camera
+from linevis_tpu.render.framebuffer import save_png
+from linevis_tpu.render.renderer import create_renderer
+from linevis_tpu.render.transfer_function import TransferFunction
+
+__all__ = ["ReplayWidget", "ReplayState"]
+
+
+@dataclasses.dataclass
+class ReplayState:
+    """One keyframe (reference ReplayState)."""
+
+    duration: float = 0.0
+    dataset: Optional[str] = None
+    renderer: Optional[str] = None
+    renderer_settings: Optional[SettingsMap] = None
+    dataset_settings: Optional[SettingsMap] = None
+    camera_position: Optional[np.ndarray] = None
+    camera_look_at: Optional[np.ndarray] = None
+    camera_fovy: Optional[float] = None
+    transfer_function: Optional[str] = None
+    screenshot: Optional[str] = None
+
+
+class _GApi:
+    """The `g` module surface exposed to replay scripts."""
+
+    def __init__(self, widget: "ReplayWidget"):
+        self._w = widget
+
+    # state management -----------------------------------------------------
+    def set_duration(self, seconds: float) -> None:
+        self._w._commit_state()
+        self._w._current.duration = float(seconds)
+
+    def set_dataset(self, name: str) -> None:
+        self._w._current.dataset = name
+
+    def set_renderer(self, name: str) -> None:
+        self._w._current.renderer = name
+
+    def set_rendering_algorithm_settings(self, settings: dict) -> None:
+        self._w._current.renderer_settings = SettingsMap(settings)
+
+    def set_dataset_settings(self, settings: dict) -> None:
+        self._w._current.dataset_settings = SettingsMap(settings)
+
+    def set_camera_position(self, x, y=None, z=None) -> None:
+        if y is None:
+            x, y, z = x
+        self._w._current.camera_position = np.array([x, y, z], np.float32)
+
+    def set_camera_look_at(self, x, y=None, z=None) -> None:
+        if y is None:
+            x, y, z = x
+        self._w._current.camera_look_at = np.array([x, y, z], np.float32)
+
+    def set_camera_yaw_pitch(self, yaw: float, pitch: float, radius: float = 1.2):
+        la = self._w._current.camera_look_at
+        cx, cy, cz = (0.0, 0.0, 0.0) if la is None else la
+        pos = (
+            cx + radius * math.cos(pitch) * math.sin(yaw),
+            cy + radius * math.sin(pitch),
+            cz + radius * math.cos(pitch) * math.cos(yaw),
+        )
+        self._w._current.camera_position = np.array(pos, np.float32)
+
+    def set_camera_fovy(self, fovy: float) -> None:
+        self._w._current.camera_fovy = float(fovy)
+
+    def set_camera_checkpoint(self, name: str) -> None:
+        cp = self._w.checkpoints.get(name)
+        if cp is None:
+            raise KeyError(f"Unknown camera checkpoint {name!r}")
+        self._w._current.camera_position = np.asarray(cp["position"], np.float32)
+        self._w._current.camera_look_at = np.asarray(cp["look_at"], np.float32)
+
+    def set_transfer_function(self, name_or_path: str) -> None:
+        self._w._current.transfer_function = name_or_path
+
+    def set_use_camera_flight(self, value: bool) -> None:
+        self._w.use_camera_flight = bool(value)
+
+    def set_render_every_frame(self, value: bool) -> None:
+        self._w.render_every_frame = bool(value)
+
+    def save_screenshot(self, filename: str) -> None:
+        self._w._current.screenshot = filename
+
+
+class ReplayWidget:
+    """Executes replay scripts and plays back the keyframe timeline."""
+
+    def __init__(
+        self,
+        dataset_loader: Callable[[str], "object"],
+        fps: float = 30.0,
+        output_dir: str = "out",
+    ):
+        self.dataset_loader = dataset_loader
+        self.fps = fps
+        self.output_dir = output_dir
+        self.states: List[ReplayState] = []
+        self._current = ReplayState()
+        self.checkpoints: Dict[str, dict] = {}
+        self.use_camera_flight = False
+        self.render_every_frame = True
+        self.frame_callback: Optional[Callable] = None
+
+    def _commit_state(self) -> None:
+        self.states.append(self._current)
+        self._current = dataclasses.replace(self._current, screenshot=None,
+                                            dataset=None, renderer=None,
+                                            renderer_settings=None,
+                                            dataset_settings=None,
+                                            transfer_function=None)
+
+    def load_script(self, path_or_code: str) -> None:
+        """Execute a replay script that calls the `g` API."""
+        code = path_or_code
+        if os.path.exists(path_or_code):
+            with open(path_or_code) as f:
+                code = f.read()
+        g = _GApi(self)
+        exec(compile(code, "<replay>", "exec"), {"g": g})
+        self._commit_state()
+
+    def run(self, width: int = 800, height: int = 600) -> int:
+        """Plays the timeline; returns the number of frames rendered."""
+        os.makedirs(self.output_dir, exist_ok=True)
+        line_data = None
+        renderer = None
+        cam = Camera(width=width, height=height)
+        pos = np.asarray(cam.position, np.float32)
+        look = np.asarray(cam.look_at_point, np.float32)
+        frames = 0
+        for state in self.states:
+            if state.dataset is not None:
+                line_data = self.dataset_loader(state.dataset)
+            if state.renderer is not None:
+                renderer = create_renderer(state.renderer)
+                if line_data is not None:
+                    renderer.set_line_data(line_data)
+            if renderer is not None and line_data is not None and renderer.line_data is None:
+                renderer.set_line_data(line_data)
+            if state.renderer_settings is not None and renderer is not None:
+                renderer.set_new_settings(state.renderer_settings)
+            if state.dataset_settings is not None and line_data is not None:
+                line_data.set_new_settings(state.dataset_settings)
+            if state.transfer_function is not None and renderer is not None:
+                if os.path.exists(state.transfer_function):
+                    renderer.set_transfer_function(
+                        TransferFunction.from_xml(state.transfer_function)
+                    )
+
+            target_pos = state.camera_position if state.camera_position is not None else pos
+            target_look = state.camera_look_at if state.camera_look_at is not None else look
+            n_frames = max(int(round(state.duration * self.fps)), 0)
+            if n_frames == 0:
+                pos, look = target_pos, target_look
+            for i in range(n_frames):
+                # Linear interpolation of numeric state (ReplayWidget.hpp:128).
+                t = (i + 1) / n_frames
+                p = (1 - t) * pos + t * np.asarray(target_pos, np.float32)
+                la = (1 - t) * look + t * np.asarray(target_look, np.float32)
+                cam = dataclasses.replace(
+                    cam, position=tuple(p), look_at_point=tuple(la)
+                )
+                if renderer is not None and (self.render_every_frame or i == n_frames - 1):
+                    img = renderer.render(cam)
+                    frames += 1
+                    if self.frame_callback:
+                        self.frame_callback(frames, img)
+            if n_frames:
+                pos, look = np.asarray(target_pos, np.float32), np.asarray(
+                    target_look, np.float32
+                )
+            if state.screenshot and renderer is not None:
+                cam = dataclasses.replace(
+                    cam, position=tuple(pos), look_at_point=tuple(look)
+                )
+                img = renderer.render(cam)
+                frames += 1
+                save_png(os.path.join(self.output_dir, state.screenshot), img)
+        return frames
+
+    # Camera checkpoints (reference sgl CheckpointWindow; JSON persistence).
+    def save_checkpoints(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    k: {"position": list(map(float, v["position"])),
+                        "look_at": list(map(float, v["look_at"]))}
+                    for k, v in self.checkpoints.items()
+                },
+                f,
+            )
+
+    def load_checkpoints(self, path: str) -> None:
+        import json
+
+        with open(path) as f:
+            self.checkpoints = json.load(f)

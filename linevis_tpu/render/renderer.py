@@ -1,0 +1,176 @@
+"""Renderer base class + rendering-mode registry.
+
+Reference: abstract `LineRenderer` (`src/Renderers/LineRenderer.hpp:66`) —
+setLineData / render / setNewSettings lifecycle — and the mode enum
+`RenderingModes.hpp:32-52` with the factory switch in
+`MainApp::setRenderer` (`MainApp.cpp:732-862`). Unsupported modes fall
+back to the opaque renderer with a warning (`MainApp.cpp:864-874`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from typing import Dict, Optional, Type
+
+import numpy as np
+
+from linevis_tpu.core.settings import SettingsMap
+from linevis_tpu.render.camera import Camera
+from linevis_tpu.render.pipeline import RasterSettings
+from linevis_tpu.render.transfer_function import TransferFunction
+from linevis_tpu.scene.line_data import LineData
+
+__all__ = [
+    "LineRenderer",
+    "RENDERING_MODE_ALL",
+    "create_renderer",
+    "register_renderer",
+]
+
+
+class LineRenderer:
+    """Base renderer: owns settings, caches per-scene state."""
+
+    name = "Base"
+
+    def __init__(self, settings: Optional[SettingsMap] = None):
+        self.line_data: Optional[LineData] = None
+        self.transfer_function = TransferFunction.standard()
+        self.depth_cue_strength = 0.0
+        self.opacity = 0.3
+        self.settings = SettingsMap()
+        if settings:
+            self.set_new_settings(settings)
+
+    # -- lifecycle (LineRenderer.hpp) ---------------------------------------
+    def set_line_data(self, line_data: LineData) -> None:
+        self.line_data = line_data
+
+    def set_transfer_function(self, tf: TransferFunction) -> None:
+        self.transfer_function = tf
+
+    def set_new_settings(self, settings: SettingsMap) -> None:
+        self.settings.update(settings)
+        if settings.has_key("depth_cue_strength"):
+            self.depth_cue_strength = settings.get_float("depth_cue_strength")
+        if settings.has_key("opacity"):
+            self.opacity = settings.get_float("opacity")
+
+    def _raster_settings(self, camera: Camera) -> RasterSettings:
+        c_pts, o_pts = self.transfer_function.as_static_points()
+        return RasterSettings(
+            width=camera.width,
+            height=camera.height,
+            tile_w=32,
+            tile_h=16,
+            depth_cue_strength=self.depth_cue_strength,
+            tf_color=c_pts,
+            tf_opacity=o_pts,
+        )
+
+    def render(self, camera: Camera) -> np.ndarray:
+        """Render a frame -> [H, W, 4] linear RGBA numpy array."""
+        raise NotImplementedError
+
+
+class OpaqueLineRenderer(LineRenderer):
+    """Reference RENDERING_MODE_OPAQUE (`OpaqueLineRenderer.hpp:40`)."""
+
+    name = "Opaque"
+
+    def render(self, camera: Camera) -> np.ndarray:
+        from linevis_tpu.render.tube_raster import render_tubes_image
+
+        scene = self.line_data.get_capsule_scene()
+        return render_tubes_image(
+            scene, camera, settings=self._raster_settings(camera)
+        )
+
+
+class _MlabBase(LineRenderer):
+    K = 8
+
+    def render(self, camera: Camera) -> np.ndarray:
+        from linevis_tpu.render.oit import render_tubes_mlab_image
+
+        scene = self.line_data.get_capsule_scene()
+        return render_tubes_mlab_image(
+            scene, camera, settings=self._raster_settings(camera),
+            K=self.K, opacity=self.opacity,
+        )
+
+
+class MLABRenderer(_MlabBase):
+    """Reference RENDERING_MODE_MLAB (8 nodes default)."""
+
+    name = "Multi-Layer Alpha Blending"
+    K = 8
+
+
+class PerPixelLinkedListRenderer(_MlabBase):
+    """Reference RENDERING_MODE_PER_PIXEL_LINKED_LIST. Realized as an
+    exact K-nearest sorted blend with K=16 (bounded-memory redesign of the
+    unbounded linked list; equal results for depth complexity <= K)."""
+
+    name = "Per-Pixel Linked Lists"
+    K = 16
+
+
+class OpacityOptimizationRendererMode(LineRenderer):
+    """Reference RENDERING_MODE_OPACITY_OPTIMIZATION."""
+
+    name = "Opacity Optimization"
+
+    def __init__(self, settings=None):
+        super().__init__(settings)
+        self._impl = None
+
+    def set_line_data(self, line_data: LineData) -> None:
+        super().set_line_data(line_data)
+        self._impl = None
+
+    def render(self, camera: Camera) -> np.ndarray:
+        from linevis_tpu.render.opacity_optimization import (
+            OpacityOptimizationRenderer as Impl,
+        )
+
+        if self._impl is None:
+            traj = self.line_data.trajectories
+            self._impl = Impl(
+                self.line_data.get_capsule_scene(),
+                traj.num_lines,
+                traj.max_points,
+                self._raster_settings(camera),
+            )
+        img = self._impl.render(camera)
+        return np.moveaxis(np.asarray(img), 0, -1)
+
+
+_REGISTRY: Dict[str, Type[LineRenderer]] = {}
+
+
+def register_renderer(mode_name: str, cls: Type[LineRenderer]) -> None:
+    _REGISTRY[mode_name] = cls
+
+
+# Mode names follow RenderingModes.hpp:32-52.
+register_renderer("Opaque", OpaqueLineRenderer)
+register_renderer("Per-Pixel Linked Lists", PerPixelLinkedListRenderer)
+register_renderer("Multi-Layer Alpha Blending", MLABRenderer)
+register_renderer("Opacity Optimization", OpacityOptimizationRendererMode)
+
+RENDERING_MODE_ALL = tuple(_REGISTRY.keys())
+
+
+def create_renderer(mode_name: str, settings: Optional[SettingsMap] = None) -> LineRenderer:
+    """Factory (MainApp::setRenderer). Unknown modes fall back to Opaque
+    with a warning, mirroring MainApp.cpp:864-874."""
+    cls = _REGISTRY.get(mode_name)
+    if cls is None:
+        warnings.warn(
+            f"Rendering mode {mode_name!r} is not supported yet; "
+            f"falling back to Opaque (available: {sorted(_REGISTRY)})"
+        )
+        cls = OpaqueLineRenderer
+    return cls(settings)

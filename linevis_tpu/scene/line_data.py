@@ -1,0 +1,191 @@
+"""`LineData` scene model: attributes, filters, cached GPU representations.
+
+Behavioral port of the reference's abstract `LineData`
+(`src/LineData/LineData.hpp:86`): it owns the attribute list and selected
+attribute, a filter chain, per-attribute min/max statistics, and *caches
+every device representation* with dirty-flag invalidation
+(`rebuildInternalRepresentationIfNecessary`, `LineData.cpp:449-511`). The
+TPU representations are the capsule scene (primary renderer + RT) and the
+tube triangle mesh (triangle raster path) instead of Vulkan VBO/BLAS
+bundles, but the caching discipline is the same: representations are
+rebuilt lazily on access after any change to filters, selected attribute
+or line width, and stale representations are dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from linevis_tpu.core.settings import SettingsMap
+from linevis_tpu.core.trajectories import Trajectories, compute_trajectories_aabb
+from linevis_tpu.loaders.flow_file import load_flow_trajectories_from_file
+from linevis_tpu.scene.filters import LineFilter
+
+__all__ = ["LineData", "LineDataFlow"]
+
+# Reference line-width default: STANDARD_LINE_WIDTH = 0.002
+# (src/Renderers/LineRenderer.hpp:266-276); radius = width / 2.
+STANDARD_LINE_WIDTH = 0.002
+
+
+class LineData:
+    """Base scene object for a loaded line dataset."""
+
+    data_set_type = "lines"
+
+    def __init__(self, trajectories: Trajectories, name: str = ""):
+        self.name = name
+        self.trajectories = trajectories
+        self.attribute_names: List[str] = list(trajectories.attribute_names)
+        self.selected_attribute_index: int = 0
+        self.line_width: float = STANDARD_LINE_WIDTH
+        self.filters: List[LineFilter] = []
+        self.dirty: bool = True
+        self._filter_mask: Optional[np.ndarray] = None
+        self._cache: Dict = {}
+
+    # -- statistics (LineData.hpp getters) --------------------------------
+    @property
+    def num_lines(self) -> int:
+        return self.trajectories.num_lines
+
+    @property
+    def num_line_points(self) -> int:
+        return int(self.trajectories.mask.sum())
+
+    @property
+    def num_line_segments(self) -> int:
+        return int(self.trajectories.segment_mask().sum())
+
+    def get_attribute_range(self, index: Optional[int] = None):
+        idx = self.selected_attribute_index if index is None else index
+        vals = self.trajectories.attributes[:, idx]
+        m = self.trajectories.mask
+        if not m.any():
+            return (0.0, 1.0)
+        return (float(vals[m].min()), float(vals[m].max()))
+
+    def get_aabb(self) -> np.ndarray:
+        return compute_trajectories_aabb(self.trajectories)
+
+    # -- configuration -----------------------------------------------------
+    def set_selected_attribute(self, index_or_name) -> None:
+        if isinstance(index_or_name, str):
+            index_or_name = self.attribute_names.index(index_or_name)
+        if index_or_name != self.selected_attribute_index:
+            self.selected_attribute_index = int(index_or_name)
+            self.mark_dirty()
+
+    def set_line_width(self, width: float) -> None:
+        if width != self.line_width:
+            self.line_width = float(width)
+            self.mark_dirty()
+
+    def add_filter(self, f: LineFilter) -> None:
+        self.filters.append(f)
+        self.mark_dirty()
+
+    def clear_filters(self) -> None:
+        if self.filters:
+            self.filters = []
+            self.mark_dirty()
+
+    def set_new_settings(self, settings: SettingsMap) -> None:
+        """Apply a settings map (reference setNewSettings mechanism)."""
+        if settings.has_key("line_width"):
+            self.set_line_width(settings.get_float("line_width"))
+        if settings.has_key("attribute"):
+            self.set_selected_attribute(settings.get_value("attribute"))
+
+    def mark_dirty(self) -> None:
+        self.dirty = True
+        self._cache.clear()
+        self._filter_mask = None
+
+    # -- filtered data ------------------------------------------------------
+    def get_filter_mask(self) -> np.ndarray:
+        """[L] keep mask from the filter chain (filterData analogue)."""
+        if self._filter_mask is None:
+            mask = np.ones((self.num_lines,), bool)
+            for f in self.filters:
+                if f.enabled:
+                    mask &= f.filter(self.trajectories)
+            self._filter_mask = mask
+        return self._filter_mask
+
+    def get_filtered_point_mask(self) -> np.ndarray:
+        """[L, P] point mask with filtered lines removed."""
+        keep = self.get_filter_mask()
+        return self.trajectories.mask & keep[:, None]
+
+    def selected_attributes(self) -> np.ndarray:
+        return self.trajectories.attributes[:, self.selected_attribute_index]
+
+    # -- cached device representations (LineData.cpp:449-511 discipline) ----
+    def get_capsule_scene(self):
+        """Primary render representation (replaces the VBO/BLAS zoo)."""
+        key = ("capsules", self.line_width, self.selected_attribute_index)
+        if key not in self._cache:
+            from linevis_tpu.render.tube_raster import build_capsule_scene
+
+            self._cache[key] = build_capsule_scene(
+                self.trajectories.positions,
+                self.get_filtered_point_mask(),
+                self.selected_attributes(),
+                radius=self.line_width / 2.0,
+            )
+            self.dirty = False
+        return self._cache[key]
+
+    def get_tube_mesh(self, num_subdivisions: int = 8):
+        """Triangle-tube representation (reference tubeNumSubdivisions=8)."""
+        key = ("tubes", self.line_width, self.selected_attribute_index,
+               num_subdivisions)
+        if key not in self._cache:
+            from linevis_tpu.geometry.tubes import build_tube_triangle_mesh
+
+            self._cache[key] = build_tube_triangle_mesh(
+                self.trajectories.positions,
+                self.get_filtered_point_mask(),
+                self.selected_attributes(),
+                radius=self.line_width / 2.0,
+                num_subdivisions=num_subdivisions,
+            )
+            self.dirty = False
+        return self._cache[key]
+
+    def get_line_segments(self):
+        key = ("segments", self.selected_attribute_index)
+        if key not in self._cache:
+            from linevis_tpu.geometry.segments import build_line_segments
+
+            self._cache[key] = build_line_segments(
+                self.trajectories.positions,
+                self.get_filtered_point_mask(),
+                self.selected_attributes(),
+            )
+        return self._cache[key]
+
+
+class LineDataFlow(LineData):
+    """Flow trajectories (reference `LineDataFlow`, LineDataFlow.hpp:35)."""
+
+    data_set_type = "flow"
+
+    @classmethod
+    def load_from_file(
+        cls,
+        filename: str,
+        name: str = "",
+        transform: Optional[np.ndarray] = None,
+        attribute_names: Optional[List[str]] = None,
+    ) -> "LineDataFlow":
+        traj = load_flow_trajectories_from_file(filename, transform=transform)
+        obj = cls(traj, name=name or filename)
+        if attribute_names:
+            obj.attribute_names = list(attribute_names) + obj.attribute_names[
+                len(attribute_names):
+            ]
+        return obj

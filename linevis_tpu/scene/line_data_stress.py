@@ -1,0 +1,191 @@
+"""Principal stress line (PSL) scene model.
+
+Behavioral port of `LineDataStress` (`src/LineData/LineDataStress.hpp:45`):
+up to three principal-stress-direction line sets (`trajectoriesPs`),
+per-direction enable flags (`:209-217` usedPsDirections), per-line
+hierarchy levels with per-direction slider filtering (`:240-246`), seed
+process animation ordering (`:168-177` appearance order), and degenerate
+points. Multi-PS rendering merges the selected directions into one capsule
+scene; the principal-stress index rides along for per-PS coloring.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from linevis_tpu.core.trajectories import (
+    Trajectories,
+    normalize_attributes,
+    normalize_trajectories,
+    pad_trajectories,
+)
+from linevis_tpu.core.transforms import apply_transform
+from linevis_tpu.loaders.stress_dat import (
+    RaggedStressTrajectories,
+    load_stress_trajectories_from_dat_v1,
+)
+from linevis_tpu.scene.line_data import LineData
+
+__all__ = ["LineDataStress"]
+
+PS_NAMES = ("major", "medium", "minor")
+# Reference per-PS default colors (red/yellow/blue legends,
+# LineDataStress.cpp color map for the three principal directions).
+PS_COLORS = ((1.0, 0.1, 0.1), (0.9, 0.8, 0.1), (0.1, 0.3, 1.0))
+
+
+class LineDataStress(LineData):
+    data_set_type = "stress"
+
+    def __init__(
+        self,
+        trajectories_ps: List[Trajectories],
+        ps_indices: List[int],
+        hierarchy_levels_ps: Optional[List[np.ndarray]] = None,  # [Li, 3] each
+        appearance_order_ps: Optional[List[np.ndarray]] = None,
+        degenerate_points: Optional[np.ndarray] = None,  # [N, 3]
+        name: str = "",
+    ):
+        self.trajectories_ps = trajectories_ps
+        self.ps_indices = list(ps_indices)
+        self.hierarchy_levels_ps = hierarchy_levels_ps
+        self.appearance_order_ps = appearance_order_ps
+        self.degenerate_points = degenerate_points
+        # Per-direction usage flags (reference usedPsDirections).
+        self.used_ps_directions = [True] * len(trajectories_ps)
+        # Per-direction hierarchy slider in [0, 1]: lines with hierarchy
+        # level < slider are hidden (LineDataStress.hpp:240-246).
+        self.hierarchy_sliders = [0.0] * len(trajectories_ps)
+        # Seed process animation step (-1 = all lines; LineDataStress.hpp:168).
+        self.seed_animation_step = -1
+
+        merged = self._merge()
+        super().__init__(merged, name=name)
+        if trajectories_ps:
+            self.attribute_names = list(trajectories_ps[0].attribute_names)
+
+    # -- loading -----------------------------------------------------------
+    @classmethod
+    def load_from_dat(
+        cls,
+        filenames: Sequence[str],
+        filenames_hierarchy: Sequence[str] = (),
+        transform: Optional[np.ndarray] = None,
+        name: str = "",
+    ) -> "LineDataStress":
+        ps_indices, blocks = load_stress_trajectories_from_dat_v1(
+            filenames, filenames_hierarchy
+        )
+        trajs, hier = [], []
+        for block in blocks:
+            ragged = block.trajectories
+            if transform is not None:
+                ragged.positions = [
+                    apply_transform(transform, p) for p in ragged.positions
+                ]
+            t = pad_trajectories(ragged)
+            trajs.append(t)
+            if block.hierarchy_levels:
+                h = np.zeros((t.num_lines, 3), np.float32)
+                for i, levels in enumerate(block.hierarchy_levels[: t.num_lines]):
+                    for j, v in enumerate(levels[:3]):
+                        h[i, j] = v
+                hier.append(h)
+            else:
+                hier.append(np.ones((t.num_lines, 3), np.float32))
+        # Joint normalization across all PS directions
+        # (normalizeTrajectoriesPsVertexPositions semantics).
+        if trajs:
+            all_lo = np.min([t.positions[t.mask].min(0) for t in trajs if t.mask.any()], axis=0)
+            all_hi = np.max([t.positions[t.mask].max(0) for t in trajs if t.mask.any()], axis=0)
+            aabb = np.stack([all_lo, all_hi]).astype(np.float32)
+            trajs = [normalize_trajectories(t, aabb) for t in trajs]
+            trajs = [normalize_attributes(t) for t in trajs]
+        return cls(
+            trajs,
+            ps_indices or list(range(len(trajs))),
+            hierarchy_levels_ps=hier,
+            name=name or (filenames[0] if filenames else "stress"),
+        )
+
+    # -- PS selection / hierarchy filtering --------------------------------
+    def set_used_ps_directions(self, flags: Sequence[bool]) -> None:
+        self.used_ps_directions = list(flags)
+        self._remerge()
+
+    def set_hierarchy_slider(self, ps: int, value: float) -> None:
+        self.hierarchy_sliders[ps] = float(value)
+        self._remerge()
+
+    def set_seed_animation_step(self, step: int) -> None:
+        self.seed_animation_step = int(step)
+        self._remerge()
+
+    def _line_keep_mask(self, i: int) -> np.ndarray:
+        t = self.trajectories_ps[i]
+        keep = np.ones((t.num_lines,), bool)
+        if not self.used_ps_directions[i]:
+            keep[:] = False
+            return keep
+        if self.hierarchy_levels_ps is not None:
+            # Slider filters on the per-PS hierarchy channel (reference uses
+            # the direction's own channel by default).
+            ch = min(self.ps_indices[i], 2)
+            keep &= self.hierarchy_levels_ps[i][:, ch] >= self.hierarchy_sliders[i]
+        if self.seed_animation_step >= 0 and self.appearance_order_ps is not None:
+            keep &= self.appearance_order_ps[i] <= self.seed_animation_step
+        return keep
+
+    def _merge(self) -> Trajectories:
+        """Concatenate enabled PS direction sets into one padded container."""
+        parts = []
+        self._ps_of_line = []
+        max_p = max((t.max_points for t in self.trajectories_ps), default=8)
+        for i, t in enumerate(self.trajectories_ps):
+            keep = self._line_keep_mask(i)
+            mask = t.mask & keep[:, None]
+            pad = max_p - t.max_points
+            parts.append(
+                (
+                    np.pad(t.positions, ((0, 0), (0, pad), (0, 0)), mode="edge"),
+                    np.pad(t.attributes, ((0, 0), (0, 0), (0, pad)), mode="edge"),
+                    np.pad(mask, ((0, 0), (0, pad))),
+                )
+            )
+            self._ps_of_line.append(
+                np.full((t.num_lines,), self.ps_indices[i], np.int32)
+            )
+        if not parts:
+            return Trajectories(
+                np.zeros((0, 8, 3), np.float32),
+                np.zeros((0, 0, 8), np.float32),
+                np.zeros((0, 8), bool),
+                np.zeros((0,), np.int32),
+            )
+        positions = np.concatenate([p[0] for p in parts])
+        attributes = np.concatenate([p[1] for p in parts])
+        mask = np.concatenate([p[2] for p in parts])
+        self.line_ps_index = np.concatenate(self._ps_of_line)
+        return Trajectories(
+            positions=positions,
+            attributes=attributes,
+            mask=mask,
+            num_points=mask.sum(1).astype(np.int32),
+            attribute_names=(
+                self.trajectories_ps[0].attribute_names
+                if self.trajectories_ps
+                else []
+            ),
+        )
+
+    def _remerge(self) -> None:
+        self.trajectories = self._merge()
+        self.mark_dirty()
+
+    def get_line_ps_colors(self) -> np.ndarray:
+        """[L, 3] per-line base color from the PS direction legend."""
+        return np.asarray(
+            [PS_COLORS[min(i, 2)] for i in self.line_ps_index], np.float32
+        )

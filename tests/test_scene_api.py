@@ -1,0 +1,153 @@
+"""Scene API tests: LineData caching/filters, stress model, settings,
+renderer registry, replay scripting."""
+
+import numpy as np
+import pytest
+
+from linevis_tpu.core.settings import SettingsMap
+from linevis_tpu.core.trajectories import RaggedTrajectories, pad_trajectories
+from linevis_tpu.scene.filters import LineLengthFilter, MaxLineAttributeFilter
+from linevis_tpu.scene.line_data import LineData, LineDataFlow
+from linevis_tpu.scene.line_data_stress import LineDataStress
+
+
+def _traj(rng, num_lines=6):
+    positions, attributes = [], []
+    for i in range(num_lines):
+        n = 4 + 4 * i
+        t = np.linspace(0, 1, n, dtype=np.float32)
+        pos = np.stack([t * (0.1 + 0.1 * i), t * 0.2, 0 * t], -1)
+        positions.append(pos)
+        attributes.append(np.stack([t * (i + 1) / num_lines]))
+    return pad_trajectories(RaggedTrajectories(positions, attributes, ["a"]))
+
+
+def test_line_data_stats_and_cache(rng):
+    ld = LineData(_traj(rng), name="test")
+    assert ld.num_lines == 6
+    lo, hi = ld.get_attribute_range()
+    assert 0.0 <= lo < hi <= 1.0
+    scene1 = ld.get_capsule_scene()
+    scene2 = ld.get_capsule_scene()
+    assert scene1 is scene2  # cached
+    ld.set_line_width(0.01)
+    scene3 = ld.get_capsule_scene()
+    assert scene3 is not scene1  # invalidated
+    assert scene3.radius == pytest.approx(0.005)
+
+
+def test_filters(rng):
+    ld = LineData(_traj(rng))
+    ld.add_filter(LineLengthFilter(min_length=0.3))
+    mask = ld.get_filter_mask()
+    assert mask.sum() < 6 and mask.sum() > 0
+    ld.clear_filters()
+    ld.add_filter(MaxLineAttributeFilter(0, lo=0.5, hi=1.0))
+    mask2 = ld.get_filter_mask()
+    # lines with max attr >= 0.5: attr max = (i+1)/6 -> i >= 2
+    assert mask2.tolist() == [False, False, True, True, True, True]
+    # Filtered points are excluded from the render representation.
+    sc = ld.get_capsule_scene()
+    assert int(np.asarray(sc.mask).sum()) < ld.trajectories.segment_mask().sum()
+
+
+def test_settings_map():
+    s = SettingsMap({"line_width": 0.004, "attribute": "a", "flag": True})
+    assert s.get_float("line_width") == pytest.approx(0.004)
+    assert s.get_bool("flag")
+    assert s.get_value("attribute") == "a"
+    s.add_key_value("v", "(1, 2, 3)")
+    assert s.get_vec("v") == (1.0, 2.0, 3.0)
+
+
+def test_line_data_settings(rng):
+    ld = LineData(_traj(rng))
+    ld.set_new_settings(SettingsMap({"line_width": 0.008}))
+    assert ld.line_width == pytest.approx(0.008)
+
+
+def test_stress_model(tmp_path):
+    # Two PS blocks via the v1 .dat loader.
+    def block(name, y):
+        pos = f"0 0 {y} 1 0 {y}"
+        ps = " ".join(str(v) for v in ([3.0, 1, 0, 0, 2.0, 0, 1, 0, 1.0, 0, 0, 1] * 2))
+        return f"{name} 1\n2\n{pos}\n{ps}\n7.0 8.0\n"
+
+    dat = tmp_path / "psl.dat"
+    dat.write_text(block("major", 0.0) + block("minor", 0.5))
+    lds = LineDataStress.load_from_dat([str(dat)])
+    assert len(lds.trajectories_ps) == 2
+    assert lds.num_lines == 2
+    # Disable one direction -> merged set shrinks.
+    lds.set_used_ps_directions([True, False])
+    assert int(lds.trajectories.mask.any(axis=1).sum()) == 1
+    lds.set_used_ps_directions([True, True])
+    # Hierarchy slider at 1.1 filters everything in that direction.
+    lds.set_hierarchy_slider(0, 1.1)
+    assert int(lds.trajectories.mask.any(axis=1).sum()) == 1
+    colors = lds.get_line_ps_colors()
+    assert colors.shape == (2, 3)
+
+
+def test_renderer_registry_and_fallback(rng):
+    import warnings
+    from linevis_tpu.render.renderer import create_renderer, RENDERING_MODE_ALL
+
+    assert "Opaque" in RENDERING_MODE_ALL
+    r = create_renderer("Opaque")
+    assert r.name == "Opaque"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r2 = create_renderer("Voxel Ray Casting (Lines)")
+        assert r2.name == "Opaque"
+        assert len(w) == 1
+
+
+def test_replay_script(rng, tmp_path):
+    from linevis_tpu.automation.replay import ReplayWidget
+    from linevis_tpu.render.camera import Camera
+
+    ld = LineData(_traj(rng))
+    rendered = []
+
+    widget = ReplayWidget(lambda name: ld, fps=4.0, output_dir=str(tmp_path))
+    widget.frame_callback = lambda i, img: rendered.append(img.shape)
+    widget.load_script(
+        """
+g.set_dataset("test")
+g.set_renderer("Opaque")
+g.set_dataset_settings({"line_width": 0.01})
+g.set_camera_position(0.0, 0.0, 1.5)
+g.set_duration(0.5)
+g.set_camera_position(0.3, 0.1, 1.4)
+g.set_duration(0.5)
+g.save_screenshot("final.png")
+"""
+    )
+    n = widget.run(width=64, height=32)
+    assert n >= 3
+    assert (tmp_path / "final.png").exists()
+    assert ld.line_width == 0.01
+
+
+def test_perf_measurer(rng, tmp_path):
+    from linevis_tpu.automation.perf import AutomaticPerformanceMeasurer, InternalState
+
+    ld = LineData(_traj(rng))
+    states = [
+        InternalState(name="opaque_small", dataset="d", rendering_mode="Opaque",
+                      window_size=(64, 32)),
+    ]
+    csv_path = str(tmp_path / "perf.csv")
+    m = AutomaticPerformanceMeasurer(
+        states, lambda name: ld, csv_path=csv_path, flight_seconds=0.4,
+        fps_target=5.0,
+    )
+    rows = m.run()
+    assert len(rows) == 1
+    assert rows[0]["Average FPS"] > 0
+    import csv as _csv
+
+    with open(csv_path) as f:
+        rd = list(_csv.DictReader(f))
+    assert rd[0]["State Name"] == "opaque_small"
