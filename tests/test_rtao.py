@@ -1,0 +1,88 @@
+"""RTAO: grid occlusion tracing vs brute-force ray-capsule tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from linevis_tpu.kernels.ao_grid import build_segment_grid, trace_ao_occlusion
+from linevis_tpu.render.camera import Camera
+from linevis_tpu.render.pipeline import RasterSettings
+from linevis_tpu.render.rtao import RtaoSettings, render_tubes_rtao_image
+from linevis_tpu.render.tube_raster import build_capsule_scene
+
+from tests.test_capsule_raster import _ray_capsule_np
+
+
+def _random_scene(rng, L=12, P=6, radius=0.03):
+    pos = np.cumsum(rng.normal(0, 0.08, (L, P, 3)), axis=1).astype(np.float32)
+    pos -= pos.mean(axis=(0, 1))
+    mask = np.ones((L, P), bool)
+    attrs = rng.uniform(0, 1, (L, P)).astype(np.float32)
+    return build_capsule_scene(pos, mask, attrs, radius=radius)
+
+
+def test_grid_occlusion_matches_bruteforce(rng):
+    scene = _random_scene(rng)
+    grid = build_segment_grid(
+        scene.a, scene.ba, scene.radius, scene.mask, resolution=16
+    )
+    n_rays = 128
+    o = rng.normal(0, 0.3, (3, n_rays)).astype(np.float32)
+    d = rng.normal(0, 1, (3, n_rays)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=0, keepdims=True)
+    t_max = np.full((n_rays,), 0.25, np.float32)
+    valid = np.ones((n_rays,), bool)
+    occ = np.asarray(
+        trace_ao_occlusion(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_max),
+            jnp.asarray(valid), grid, interpret=True,
+        )
+    )
+    a_np = np.asarray(scene.a).T
+    ba_np = np.asarray(scene.ba).T
+    wrong = 0
+    for i in range(n_rays):
+        ts = [
+            _ray_capsule_np(o[:, i], d[:, i], a_np[s], a_np[s] + ba_np[s],
+                            scene.radius)
+            for s in range(scene.num_segments)
+        ]
+        tmin = min(ts)
+        expected = 1.0 if (1e-4 < tmin < 0.25) else 0.0
+        if expected != occ[i]:
+            # Cell sampling can miss grazing crossings; tolerate near-t_max
+            # and grazing cases only.
+            wrong += 1
+    assert wrong <= 3, f"{wrong}/{n_rays} rays disagree"
+
+
+def test_rtao_darkens_concave(rng):
+    """A plane of parallel lines: AO near neighbors < AO of an isolated line."""
+    L = 9
+    pos = np.zeros((L + 1, 2, 3), np.float32)
+    for i in range(L):
+        pos[i, 0] = (-0.4, 0.0, -0.2 + 0.05 * i)
+        pos[i, 1] = (0.4, 0.0, -0.2 + 0.05 * i)
+    pos[L, 0] = (-0.4, 0.45, 0.0)  # isolated line above
+    pos[L, 1] = (0.4, 0.45, 0.0)
+    mask = np.ones((L + 1, 2), bool)
+    attrs = np.full((L + 1, 2), 0.5, np.float32)
+    scene = build_capsule_scene(pos, mask, attrs, radius=0.02)
+
+    cam = Camera(position=(0.0, 0.6, 1.2), look_at_point=(0, 0, 0),
+                 width=64, height=48)
+    S = RasterSettings(width=64, height=48, tile_w=16, tile_h=8, chunk=16,
+                       span_x=4, span_y=4)
+    img = render_tubes_rtao_image(
+        scene, cam, settings=S,
+        rtao=RtaoSettings(num_samples=8, ao_radius=0.15, grid_resolution=16),
+    )
+    assert np.isfinite(img).all()
+    # Compare mean luminance of covered pixels in the dense region (lower
+    # half of image) vs the isolated line (should be brighter).
+    lum = img[..., :3].mean(-1)
+    cov = (img[..., :3] < 0.999).any(-1)
+    dense = lum[28:][cov[28:]]
+    iso = lum[:20][cov[:20]]
+    assert len(dense) > 0 and len(iso) > 0
+    assert iso.mean() > dense.mean()
