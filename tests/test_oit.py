@@ -8,7 +8,7 @@ from linevis_tpu.render.oit import render_tubes_mlab_image
 from linevis_tpu.render.pipeline import RasterSettings
 from linevis_tpu.render.tube_raster import build_capsule_scene
 
-W, H = 64, 32
+W, H = 32, 16
 
 
 def _layered_scene(n=4):
@@ -23,17 +23,17 @@ def _layered_scene(n=4):
 
 
 def _settings():
-    return RasterSettings(width=W, height=H, tile_w=16, tile_h=8, chunk=16,
-                          span_x=4, span_y=4)
+    return RasterSettings(width=W, height=H, tile_w=16, tile_h=8, chunk=8,
+                          span_x=3, span_y=3)
 
 
 def test_mlab_center_blend_matches_manual():
-    n = 3
+    n = 2
     scene = _layered_scene(n)
     cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
     S = _settings()
     opacity = 0.4
-    img = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=opacity)
+    img = render_tubes_mlab_image(scene, cam, settings=S, K=4, opacity=opacity)
     px = img[H // 2, W // 2]
     assert np.isfinite(img).all()
     # All 3 tubes + white background along the center ray. Each tube
@@ -54,7 +54,7 @@ def test_mlab_opaque_limit_matches_opaque():
     scene = _layered_scene(3)
     cam = Camera(position=(0.1, 0.05, 1.5), width=W, height=H)
     S = _settings()
-    img_t = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=1.0)
+    img_t = render_tubes_mlab_image(scene, cam, settings=S, K=4, opacity=1.0)
     img_o = render_tubes_image(scene, cam, settings=S)
     # Colors match wherever both cover (modulo fp): transparent path shades
     # identically at alpha=1.
@@ -71,6 +71,6 @@ def test_mlab_deterministic():
     scene = _layered_scene(4)
     cam = Camera(position=(0.0, 0.1, 1.4), width=W, height=H)
     S = _settings()
-    a = render_tubes_mlab_image(scene, cam, settings=S, K=4)
-    b = render_tubes_mlab_image(scene, cam, settings=S, K=4)
+    a = render_tubes_mlab_image(scene, cam, settings=S, K=2)
+    b = render_tubes_mlab_image(scene, cam, settings=S, K=2)
     np.testing.assert_array_equal(a, b)

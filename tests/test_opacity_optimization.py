@@ -11,17 +11,17 @@ from linevis_tpu.render.opacity_optimization import (
 from linevis_tpu.render.pipeline import RasterSettings
 from linevis_tpu.render.tube_raster import build_capsule_scene
 
-W, H = 64, 32
+W, H = 32, 16
 
 
 def _scene_occluder():
     """A high-importance line in front of many low-importance lines."""
-    n_back = 6
+    n_back = 4
     pos = np.zeros((n_back + 1, 2, 3), np.float32)
     attrs = np.zeros((n_back + 1, 2), np.float32)
     for i in range(n_back):
-        pos[i, 0] = (-0.4, -0.2 + 0.08 * i, 0.0)
-        pos[i, 1] = (0.4, -0.2 + 0.08 * i, 0.0)
+        pos[i, 0] = (-0.4, -0.15 + 0.08 * i, 0.0)
+        pos[i, 1] = (0.4, -0.15 + 0.08 * i, 0.0)
         attrs[i] = 0.1  # unimportant
     pos[n_back, 0] = (-0.4, 0.0, 0.3)  # in front
     pos[n_back, 1] = (0.4, 0.0, 0.3)
@@ -33,13 +33,13 @@ def _scene_occluder():
 def test_unimportant_occluders_fade():
     scene, L, P = _scene_occluder()
     cam = Camera(position=(0.0, 0.0, 1.6), width=W, height=H)
-    S = RasterSettings(width=W, height=H, tile_w=16, tile_h=8, chunk=16,
-                       span_x=4, span_y=4)
-    oo = OpacityOptimizationSettings(s=4, gather_k=8, render_k=8,
+    S = RasterSettings(width=W, height=H, tile_w=16, tile_h=8, chunk=8,
+                       span_x=3, span_y=3)
+    oo = OpacityOptimizationSettings(s=4, gather_k=4, render_k=4,
                                      opacity_resolution_scale=1.0,
                                      temporal_smoothing=0.5)
     r = OpacityOptimizationRenderer(scene, L, P, S, oo)
-    for _ in range(6):
+    for _ in range(3):
         img = r.render(cam)
     vo = np.asarray(r.vertex_opacity)
     # The important front line keeps high opacity; the unimportant line that
@@ -59,10 +59,10 @@ def test_opacity_solve_formula():
     (no energy term); importance contrast creates opacity contrast."""
     scene, L, P = _scene_occluder()
     cam = Camera(position=(0.0, 0.0, 1.6), width=W, height=H)
-    S = RasterSettings(width=W, height=H, tile_w=16, tile_h=8, chunk=16,
-                       span_x=4, span_y=4)
+    S = RasterSettings(width=W, height=H, tile_w=16, tile_h=8, chunk=8,
+                       span_x=3, span_y=3)
     # q=r=0 -> alpha = 1 everywhere.
-    oo = OpacityOptimizationSettings(q=0.0, r=0.0, s=0,
+    oo = OpacityOptimizationSettings(q=0.0, r=0.0, s=0, gather_k=4, render_k=4,
                                      opacity_resolution_scale=1.0,
                                      temporal_smoothing=1.0)
     r = OpacityOptimizationRenderer(scene, L, P, S, oo)
