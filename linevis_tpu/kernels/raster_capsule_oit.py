@@ -96,8 +96,9 @@ def _mlab_kernel(
     ly = (lin // tile_w).astype(jnp.float32)
     lx = (lin % tile_w).astype(jnp.float32)
 
+    d_init = 0.0 if store_mode in ("wboit", "count") else 2.0
     for dref in d_refs:
-        dref[:] = jnp.full(dref.shape, 2.0, jnp.float32)
+        dref[:] = jnp.full(dref.shape, d_init, jnp.float32)
     for cref in (*r_refs, *g_refs, *b_refs, *a_refs):
         cref[:] = jnp.zeros(cref.shape, jnp.float32)
 
@@ -301,8 +302,54 @@ def _mlab_kernel(
                         gc = (rgb[1] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
                         bc = (rgb[2] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
 
+                    if store_mode in ("wboit", "count"):
+                        # Accumulation modes: no per-fragment ordering.
+                        valid_c = tw < _BIG
+                        if store_mode == "count":
+                            d_refs[0][k : k + 1, :] += jnp.sum(
+                                jnp.where(valid_c, 1.0, 0.0), axis=0,
+                                keepdims=True,
+                            )
+                        else:
+                            # WBOIT depth weight (WBOITGather.glsl:14-37).
+                            vzc = tw * invlen
+                            zndc = zA - zB / jnp.maximum(vzc, 1e-12)
+                            wgt = jnp.clip(
+                                jnp.power(
+                                    jnp.minimum(ac * 10.0, 1.0) + 0.01, 3.0
+                                )
+                                * 1e8
+                                * jnp.power(
+                                    1.0 - jnp.clip(zndc, 0.0, 1.0) * 0.9, 3.0
+                                ),
+                                1e-2, 3e3,
+                            )
+                            wa = jnp.where(valid_c, wgt * ac, 0.0)
+                            r_refs[0][k : k + 1, :] += jnp.sum(
+                                wa * rc, axis=0, keepdims=True
+                            )
+                            g_refs[0][k : k + 1, :] += jnp.sum(
+                                wa * gc, axis=0, keepdims=True
+                            )
+                            b_refs[0][k : k + 1, :] += jnp.sum(
+                                wa * bc, axis=0, keepdims=True
+                            )
+                            a_refs[0][k : k + 1, :] += jnp.sum(
+                                wa, axis=0, keepdims=True
+                            )
+                            # Revealage as sum of log(1 - a).
+                            d_refs[0][k : k + 1, :] += jnp.sum(
+                                jnp.where(
+                                    valid_c,
+                                    jnp.log(jnp.maximum(1.0 - ac, 1e-6)),
+                                    0.0,
+                                ),
+                                axis=0, keepdims=True,
+                            )
+
+                    extraction_slots = 0 if store_mode in ("wboit", "count") else K
                     # K nearest extractions + insertion into the node array.
-                    for _slot in range(K):
+                    for _slot in range(extraction_slots):
                         bt = jnp.min(tw, axis=0, keepdims=True)  # [1, P]
                         has = bt < _BIG
                         win = tw <= bt

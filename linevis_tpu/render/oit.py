@@ -113,3 +113,72 @@ def render_tubes_mlab_image(
         opacity,
     )
     return np.moveaxis(np.asarray(img), 0, -1)
+
+
+@partial(jax.jit, static_argnames=("settings", "opacity"))
+def render_tubes_wboit(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+    opacity: float = 0.3,
+) -> jnp.ndarray:
+    """Weighted-blended OIT (reference WBOITRenderer.cpp:195): accumulation
+    + revealage targets with the depth-based weight of WBOITGather.glsl."""
+    csr, params, basis = prepare_capsule_frame(
+        scene, view_proj, camera_position, proj_ab, settings
+    )
+    params = params.at[14].set(opacity)
+    interpret = jax.default_backend() == "cpu"
+    depths, rgb, alpha = rasterize_capsules_mlab(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, 1,
+        settings.tf_color, settings.tf_opacity,
+        store_mode="wboit", interpret=interpret,
+    )
+    log_t = depths[0]
+    revealage = jnp.exp(log_t)
+    sum_wa = jnp.maximum(alpha[0], 1e-6)
+    acc = rgb[:, 0] / sum_wa[None]
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    out = acc * (1.0 - revealage)[None] + revealage[None] * bg[:3, None, None]
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+            settings.width, settings.height,
+        )
+
+    return jnp.stack(
+        [unp(out[0]), unp(out[1]), unp(out[2]), unp(1.0 - revealage)], axis=0
+    )
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def render_depth_complexity(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+) -> jnp.ndarray:
+    """Fragment count per pixel (reference DepthComplexityRenderer.cpp:346).
+
+    Returns [H, W] float32 counts (capsule entry+exit surfaces both count,
+    like the reference's two tube faces).
+    """
+    csr, params, _ = prepare_capsule_frame(
+        scene, view_proj, camera_position, proj_ab, settings
+    )
+    interpret = jax.default_backend() == "cpu"
+    depths, _rgb, _alpha = rasterize_capsules_mlab(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, 1,
+        settings.tf_color, settings.tf_opacity,
+        store_mode="count", interpret=interpret,
+    )
+    return unpack_tiles(
+        depths[0], csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+        settings.width, settings.height,
+    )

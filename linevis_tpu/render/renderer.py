@@ -117,6 +117,72 @@ class PerPixelLinkedListRenderer(_MlabBase):
     K = 16
 
 
+class WBOITRenderer(LineRenderer):
+    """Reference RENDERING_MODE_WBOIT (WBOITRenderer.cpp:195)."""
+
+    name = "Weighted Blended Order Independent Transparency"
+
+    def render(self, camera: Camera) -> np.ndarray:
+        import jax.numpy as jnp
+        from linevis_tpu.render.oit import render_tubes_wboit
+        from linevis_tpu.render.tube_raster import _proj_constants
+
+        scene = self.line_data.get_capsule_scene()
+        img = render_tubes_wboit(
+            scene,
+            jnp.asarray(camera.view_projection_matrix()),
+            jnp.asarray(np.asarray(camera.position, np.float32)),
+            jnp.asarray(_proj_constants(camera)),
+            self._raster_settings(camera),
+            opacity=self.opacity,
+        )
+        return np.moveaxis(np.asarray(img), 0, -1)
+
+
+class DepthComplexityRenderer(LineRenderer):
+    """Reference RENDERING_MODE_DEPTH_COMPLEXITY: fragment counts mapped to
+    a color ramp (DepthComplexityRenderer.cpp:346)."""
+
+    name = "Depth Complexity"
+
+    def render(self, camera: Camera) -> np.ndarray:
+        import jax.numpy as jnp
+        from linevis_tpu.render.oit import render_depth_complexity
+        from linevis_tpu.render.tube_raster import _proj_constants
+
+        scene = self.line_data.get_capsule_scene()
+        counts = np.asarray(
+            render_depth_complexity(
+                scene,
+                jnp.asarray(camera.view_projection_matrix()),
+                jnp.asarray(np.asarray(camera.position, np.float32)),
+                jnp.asarray(_proj_constants(camera)),
+                self._raster_settings(camera),
+            )
+        )
+        mx = max(counts.max(), 1.0)
+        t = counts / mx
+        rgba = self.transfer_function.lookup(t)
+        img = np.asarray(rgba)
+        img[..., 3] = 1.0
+        img[counts == 0] = self._raster_settings(camera).background_color
+        return img
+
+
+class RtaoRenderer(LineRenderer):
+    """Reference RENDERING_MODE_VULKAN_RAY_TRACER with screen-space RTAO."""
+
+    name = "Vulkan Ray Tracer"
+
+    def render(self, camera: Camera) -> np.ndarray:
+        from linevis_tpu.render.rtao import render_tubes_rtao_image
+
+        scene = self.line_data.get_capsule_scene()
+        return render_tubes_rtao_image(
+            scene, camera, settings=self._raster_settings(camera)
+        )
+
+
 class OpacityOptimizationRendererMode(LineRenderer):
     """Reference RENDERING_MODE_OPACITY_OPTIMIZATION."""
 
@@ -158,7 +224,12 @@ def register_renderer(mode_name: str, cls: Type[LineRenderer]) -> None:
 register_renderer("Opaque", OpaqueLineRenderer)
 register_renderer("Per-Pixel Linked Lists", PerPixelLinkedListRenderer)
 register_renderer("Multi-Layer Alpha Blending", MLABRenderer)
+register_renderer(
+    "Weighted Blended Order Independent Transparency", WBOITRenderer
+)
+register_renderer("Depth Complexity", DepthComplexityRenderer)
 register_renderer("Opacity Optimization", OpacityOptimizationRendererMode)
+register_renderer("Vulkan Ray Tracer", RtaoRenderer)
 
 RENDERING_MODE_ALL = tuple(_REGISTRY.keys())
 

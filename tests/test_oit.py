@@ -74,3 +74,28 @@ def test_mlab_deterministic():
     a = render_tubes_mlab_image(scene, cam, settings=S, K=2)
     b = render_tubes_mlab_image(scene, cam, settings=S, K=2)
     np.testing.assert_array_equal(a, b)
+
+
+def test_wboit_and_depth_complexity():
+    import jax.numpy as jnp
+    from linevis_tpu.render.oit import render_depth_complexity, render_tubes_wboit
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    n = 3
+    scene = _layered_scene(n)
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+
+    dc = np.asarray(render_depth_complexity(scene, vp, cp, ab, S))
+    # Center ray crosses all n tubes -> 2n fragments (entry+exit).
+    assert dc[H // 2, W // 2] == 2 * n, dc[H // 2, W // 2]
+    assert dc[0, 0] == 0
+
+    img = np.asarray(render_tubes_wboit(scene, vp, cp, ab, S, opacity=0.4))
+    assert np.isfinite(img).all()
+    # Coverage alpha at center matches 1 - (1-a)^(2n).
+    expect = 1.0 - (1.0 - 0.4) ** (2 * n)
+    assert abs(img[3, H // 2, W // 2] - expect) < 1e-2
