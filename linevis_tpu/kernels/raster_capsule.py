@@ -197,7 +197,10 @@ def _capsule_kernel(
                     ha = rd * rd - (oaoa - rr)
                     ta = -rd - jnp.sqrt(jnp.maximum(ha, 0.0))
                     ya = baoa + ta * bard
-                    oka = (ha >= 0.0) & (ya <= 0.0)
+                    # Start caps render only at chain starts (payload row 13);
+                    # interior joints are covered by the previous segment's
+                    # b-cap (identical union, single blend per joint).
+                    oka = (ha >= 0.0) & (ya <= 0.0) & (scal(13) > 0.5)
                     # Sphere cap at b (ob' = oa' - ba).
                     b1b = rd - bard
                     obob = oaoa - 2.0 * baoa + baba

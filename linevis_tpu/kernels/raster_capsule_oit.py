@@ -205,9 +205,11 @@ def _mlab_kernel(
                         y = baoa + tp * bard
                         return (disc >= 0.0) & (y > 0.0) & (y < baba)
 
+                    cap_a_on = scal(13) > 0.5  # chain-start caps only
+
                     def capa_ok(tp, disc):
                         y = baoa + tp * bard
-                        return (disc >= 0.0) & (y <= 0.0)
+                        return (disc >= 0.0) & (y <= 0.0) & cap_a_on
 
                     def capb_ok(tp, disc):
                         y = baoa + tp * bard

@@ -35,7 +35,7 @@ __all__ = ["CapsuleScene", "build_capsule_scene", "render_tubes", "render_tubes_
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["a", "ba", "attr0", "dattr", "mask"],
+    data_fields=["a", "ba", "attr0", "dattr", "mask", "cap_a"],
     meta_fields=["radius"],
 )
 @dataclasses.dataclass
@@ -46,6 +46,9 @@ class CapsuleScene:
     ba:    [3, S] segment vectors (b - a)
     attr0: [S] attribute at a;  dattr: [S] attr(b) - attr(a)
     mask:  [S] valid segments
+    cap_a: [S] 1.0 where the start cap renders (chain starts only: interior
+           joint spheres are drawn once, by the PREVIOUS segment's b-cap, so
+           transparent chains blend each joint exactly once)
     radius: float — tube radius (line width / 2, reference
             `STANDARD_LINE_WIDTH` semantics)
     """
@@ -55,6 +58,7 @@ class CapsuleScene:
     attr0: jnp.ndarray
     dattr: jnp.ndarray
     mask: jnp.ndarray
+    cap_a: jnp.ndarray
     radius: float
 
     @property
@@ -74,8 +78,13 @@ def build_capsule_scene(positions, mask, attrs, radius: float) -> CapsuleScene:
     at = jnp.asarray(attrs)
     a0 = at[:, :-1].reshape(-1)
     a1 = at[:, 1:].reshape(-1)
+    seg2 = (m[:, :-1] & m[:, 1:])
+    prev_valid = jnp.concatenate(
+        [jnp.zeros((L, 1), bool), seg2[:, :-1]], axis=1
+    )
+    cap_a = (~prev_valid).reshape(-1).astype(jnp.float32)
     return CapsuleScene(
-        a=a, ba=b - a, attr0=a0, dattr=a1 - a0, mask=seg_mask,
+        a=a, ba=b - a, attr0=a0, dattr=a1 - a0, mask=seg_mask, cap_a=cap_a,
         radius=float(radius),
     )
 
@@ -174,7 +183,7 @@ def prepare_capsule_frame(
             baba,
             alpha0,  # row 11: per-segment alpha (opacity optimization)
             dalpha,  # row 12
-            Ca,
+            scene.cap_a,  # row 13: render the start cap (chain starts only)
             Cb,
             zq,
         ],
