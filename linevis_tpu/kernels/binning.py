@@ -1,4 +1,8 @@
-"""Screen-space tile binning of triangles (pure XLA, channels-first).
+"""Screen-space tile binning — SUPERSEDED differential reference.
+
+Production binning is `raster_pallas.build_sorted_binning` /
+`build_csr_binning`; this slot-gather implementation remains only as the
+independent reference for differential tests. Do not use in render paths.
 
 TPU-native replacement for the hardware rasterizer's binning stage. The
 reference feeds all triangles to the Vulkan rasterizer

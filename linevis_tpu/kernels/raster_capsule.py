@@ -11,7 +11,8 @@ this wins decisively: 16x fewer primitives to bin/sort/gather, pixel-exact
 round tubes, and the inner loop is dense [C, P] vector math fed by two
 [3, C] x [3, P] MXU dots per chunk.
 
-Payload rows (16, per segment; o = camera origin, capsule (a, b, r)):
+Payload rows (16, per segment; o = camera origin, capsule (a, b, r));
+packed by `render/tube_raster.py:prepare_capsule_frame`:
   0-2:  oa = o - a
   3-5:  ba = b - a
   6:    r
@@ -19,10 +20,11 @@ Payload rows (16, per segment; o = camera origin, capsule (a, b, r)):
   8:    dattr (attr1 - attr0)
   9:    id (float, exact below 2^24)
   10:   baba = |ba|^2
-  11:   baoa = ba . oa
-  12:   K0 = baba*|oa|^2 - baoa^2 - r^2*baba  (body quadratic constant)
-  13:   Ca = |oa|^2 - r^2  (cap-a sphere constant)
-  14:   Cb = |ob|^2 - r^2  (cap-b sphere constant, ob = oa - ba)
+  11:   alpha0 — per-segment alpha at a (opacity optimization; 1 otherwise)
+  12:   dalpha — alpha(b) - alpha(a)
+  13:   cap_a — 1.0 where the start cap renders (chain starts only)
+  14:   Cb = |ob|^2 - r^2 (cap-b sphere constant, ob = oa - ba; unused here,
+        consumed by the OIT variant in `raster_capsule_oit.py`)
   15:   conservative min NDC depth (bucket-floored sort key)
 
 Scalar-prefetch params[16]: rows 0-8 the camera ray basis (row-major; ray
@@ -42,10 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from linevis_tpu.kernels.raster_pallas import TILE_GROUP, SortedBinning
 
-__all__ = ["rasterize_capsules_pallas", "CAPSULE_REJECT_ROWS"]
-
-# Invalid slots: impossible body/cap discriminants, far zmin.
-CAPSULE_REJECT_ROWS = ((12, 1e30), (13, 1e30), (14, 1e30), (15, 3.0))
+__all__ = ["rasterize_capsules_pallas"]
 
 _BIG = 1e30
 

@@ -1,4 +1,10 @@
-"""Tile rasterization core (pure XLA; runs on TPU and on CPU for tests).
+"""Tile rasterization core (pure XLA) — SUPERSEDED differential reference.
+
+The production rasterizers are the Pallas kernels (`raster_pallas.py`,
+`raster_capsule.py`); this first-generation XLA-scan implementation is kept
+only as an independent reference for differential tests
+(`tests/test_raster_pallas.py` checks Pallas == XLA-scan). Do not use it in
+new render paths.
 
 The inner loop is expressed so XLA maps it onto the MXU: coverage + depth of
 a chunk of C triangles against all P pixels of a tile is one batched matmul
@@ -23,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from linevis_tpu.kernels.binning import TileBinning
+from linevis_tpu.kernels.tiles import unpack_tiles  # re-export (legacy import path)
 
 __all__ = ["rasterize_depth_tiles", "unpack_tiles", "gather_tile_payload", "tile_pixel_rows"]
 
@@ -120,11 +127,4 @@ def rasterize_depth_tiles(
     return zbuf, ibuf
 
 
-def unpack_tiles(
-    tiled: jnp.ndarray, tiles_x: int, tiles_y: int, tile_w: int, tile_h: int,
-    width: int, height: int,
-):
-    """[n_tiles, P] or [n_tiles, tile_h, tile_w] -> [height, width]."""
-    img = tiled.reshape(tiles_y, tiles_x, tile_h, tile_w)
-    img = jnp.moveaxis(img, 2, 1).reshape(tiles_y * tile_h, tiles_x * tile_w)
-    return img[:height, :width]
+

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from linevis_tpu.geometry.tubes import TubeMesh
 from linevis_tpu.kernels.raster_pallas import build_csr_binning, rasterize_gbuffer_pallas
-from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.kernels.tiles import unpack_tiles
 from linevis_tpu.render.opaque import _GBUF_KEYS, _ray_basis_from_view_proj
 from linevis_tpu.render.pipeline import (
     GBUFFER_PLANES,

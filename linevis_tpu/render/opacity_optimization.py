@@ -42,7 +42,7 @@ from linevis_tpu.render.tube_raster import (
     _proj_constants,
     prepare_capsule_frame,
 )
-from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.kernels.tiles import unpack_tiles
 
 __all__ = ["OpacityOptimizationSettings", "render_opacity_optimization"]
 

@@ -23,7 +23,7 @@ from linevis_tpu.kernels.raster_pallas import (
     build_csr_binning,
     rasterize_gbuffer_pallas,
 )
-from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.kernels.tiles import unpack_tiles
 from linevis_tpu.render.camera import Camera
 from linevis_tpu.render.pipeline import (
     GBUFFER_PLANES,

@@ -22,7 +22,7 @@ import numpy as np
 
 from linevis_tpu.kernels.ao_grid import build_segment_grid, trace_ao_occlusion
 from linevis_tpu.kernels.raster_capsule import rasterize_capsules_pallas
-from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.kernels.tiles import unpack_tiles
 from linevis_tpu.render.camera import Camera
 from linevis_tpu.render.lighting import normalize3
 from linevis_tpu.render.pipeline import RasterSettings

@@ -20,7 +20,7 @@ import numpy as np
 
 from linevis_tpu.kernels.raster_capsule import rasterize_capsules_pallas
 from linevis_tpu.kernels.raster_pallas import build_sorted_binning
-from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.kernels.tiles import unpack_tiles
 from linevis_tpu.render.camera import Camera
 from linevis_tpu.render.lighting import (
     apply_depth_cue,

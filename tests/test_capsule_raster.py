@@ -13,7 +13,7 @@ from linevis_tpu.render.tube_raster import (
     _proj_constants,
 )
 from linevis_tpu.kernels.raster_capsule import rasterize_capsules_pallas
-from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.kernels.tiles import unpack_tiles
 
 W, H = 64, 32
 

@@ -5,7 +5,7 @@ import numpy as np
 
 from linevis_tpu.kernels.binning import compute_edge_coefficients
 from linevis_tpu.kernels.raster_pallas import build_csr_binning, rasterize_depth_pallas
-from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.kernels.tiles import unpack_tiles
 
 from tests.test_raster import _naive_raster, _random_triangles, _to_cf
 
