@@ -81,7 +81,15 @@ def parse_transform_string(s: str) -> np.ndarray:
     return m
 
 
-def apply_transform(matrix: np.ndarray, points: np.ndarray) -> np.ndarray:
-    """Apply a 4x4 matrix to [..., 3] points (w=1, no perspective divide)."""
-    r = points @ matrix[:3, :3].T + matrix[:3, 3]
+def apply_transform(
+    matrix: np.ndarray, points: np.ndarray, is_direction: bool = False
+) -> np.ndarray:
+    """Apply a 4x4 matrix to [..., 3] points (w=1, no perspective divide).
+
+    is_direction=True applies only the linear part (w=0), for vectors like
+    band right directions.
+    """
+    r = points @ matrix[:3, :3].T
+    if not is_direction:
+        r = r + matrix[:3, 3]
     return r.astype(points.dtype)

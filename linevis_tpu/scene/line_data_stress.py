@@ -24,11 +24,17 @@ from linevis_tpu.core.trajectories import (
 from linevis_tpu.core.transforms import apply_transform
 from linevis_tpu.loaders.stress_dat import (
     RaggedStressTrajectories,
+    SimulationMeshHull,
     load_stress_trajectories_from_dat_v1,
+    load_stress_trajectories_from_dat_v2,
+    load_stress_trajectories_from_dat_v3,
 )
 from linevis_tpu.scene.line_data import LineData
 
-__all__ = ["LineDataStress"]
+__all__ = ["LineDataStress", "BAND_RENDER_MODES"]
+
+# Reference LineDataStress.hpp:224-229.
+BAND_RENDER_MODES = ("RIBBONS", "EIGENVALUE_RATIO", "HYPERSTREAMLINES")
 
 PS_NAMES = ("major", "medium", "minor")
 # Reference per-PS default colors (red/yellow/blue legends,
@@ -46,6 +52,9 @@ class LineDataStress(LineData):
         hierarchy_levels_ps: Optional[List[np.ndarray]] = None,  # [Li, 3] each
         appearance_order_ps: Optional[List[np.ndarray]] = None,
         degenerate_points: Optional[np.ndarray] = None,  # [N, 3]
+        band_right_vectors_ps: Optional[List[np.ndarray]] = None,  # [Li,P,3]
+        principal_stresses_ps: Optional[List[np.ndarray]] = None,  # [Li,3,P]
+        hull: Optional[SimulationMeshHull] = None,
         name: str = "",
     ):
         self.trajectories_ps = trajectories_ps
@@ -53,6 +62,16 @@ class LineDataStress(LineData):
         self.hierarchy_levels_ps = hierarchy_levels_ps
         self.appearance_order_ps = appearance_order_ps
         self.degenerate_points = degenerate_points
+        # v2/v3 band data: per-PS padded right vectors aligned with the
+        # trajectories' padding; None when the file carries no bands.
+        self.band_right_vectors_ps = band_right_vectors_ps
+        # Per-PS padded (major, medium, minor) stresses [Li, 3, P] for
+        # EIGENVALUE_RATIO / HYPERSTREAMLINES band sizing.
+        self.principal_stresses_ps = principal_stresses_ps
+        self.hull = hull
+        # Band render mode (LineDataStress.hpp:224-229).
+        self.band_render_mode = "RIBBONS"
+        self.use_bands = band_right_vectors_ps is not None
         # Per-direction usage flags (reference usedPsDirections).
         self.used_ps_directions = [True] * len(trajectories_ps)
         # Per-direction hierarchy slider in [0, 1]: lines with hierarchy
@@ -73,12 +92,26 @@ class LineDataStress(LineData):
         filenames: Sequence[str],
         filenames_hierarchy: Sequence[str] = (),
         transform: Optional[np.ndarray] = None,
+        version: int = 1,
         name: str = "",
     ) -> "LineDataStress":
-        ps_indices, blocks = load_stress_trajectories_from_dat_v1(
-            filenames, filenames_hierarchy
-        )
-        trajs, hier = [], []
+        """Load PSL `.dat` files (versions 1/2/3; DataSetInformation
+        `version` field, reference MainApp.cpp:2357-2369 dispatch)."""
+        hull = None
+        if version == 1:
+            ps_indices, blocks = load_stress_trajectories_from_dat_v1(
+                filenames, filenames_hierarchy
+            )
+        elif version == 2:
+            ps_indices, blocks = load_stress_trajectories_from_dat_v2(filenames)
+        elif version == 3:
+            ps_indices, blocks, hull = load_stress_trajectories_from_dat_v3(
+                filenames
+            )
+        else:
+            raise ValueError(f"Unsupported stress .dat version {version}")
+        trajs, hier, bands, stresses, appearance = [], [], [], [], []
+        has_bands = any(b.band_points_right for b in blocks)
         for block in blocks:
             ragged = block.trajectories
             if transform is not None:
@@ -87,7 +120,7 @@ class LineDataStress(LineData):
                 ]
             t = pad_trajectories(ragged)
             trajs.append(t)
-            if block.hierarchy_levels:
+            if block.hierarchy_levels and any(block.hierarchy_levels):
                 h = np.zeros((t.num_lines, 3), np.float32)
                 for i, levels in enumerate(block.hierarchy_levels[: t.num_lines]):
                     for j, v in enumerate(levels[:3]):
@@ -95,6 +128,37 @@ class LineDataStress(LineData):
                 hier.append(h)
             else:
                 hier.append(np.ones((t.num_lines, 3), np.float32))
+            if has_bands:
+                rv = np.zeros(t.positions.shape, np.float32)
+                rv[..., 0] = 1.0
+                for i, bp in enumerate(block.band_points_right[: t.num_lines]):
+                    n = min(bp.shape[0], rv.shape[1])
+                    if transform is not None:
+                        bp = apply_transform(
+                            transform, bp, is_direction=True
+                        )
+                    rv[i, :n] = bp[:n]
+                    if n < rv.shape[1]:
+                        rv[i, n:] = rv[i, n - 1]
+                bands.append(rv)
+            # Per-point principal stresses for EIGENVALUE_RATIO /
+            # HYPERSTREAMLINES sizing: v3 attrs 9-11; v1 has them in the
+            # per-point PS arrays.
+            if version == 3 and t.attributes.shape[1] >= 12:
+                stresses.append(t.attributes[:, 9:12])
+            elif version == 1 and block.major_ps:
+                st = np.zeros((t.num_lines, 3, t.max_points), np.float32)
+                for i in range(min(t.num_lines, len(block.major_ps))):
+                    for j, arr in enumerate(
+                        (block.major_ps[i], block.medium_ps[i], block.minor_ps[i])
+                    ):
+                        n = min(arr.shape[0], t.max_points)
+                        st[i, j, :n] = arr[:n]
+                stresses.append(st)
+            if block.appearance_orders:
+                appearance.append(
+                    np.asarray(block.appearance_orders, np.int32)
+                )
         # Joint normalization across all PS directions
         # (normalizeTrajectoriesPsVertexPositions semantics).
         if trajs:
@@ -103,10 +167,20 @@ class LineDataStress(LineData):
             aabb = np.stack([all_lo, all_hi]).astype(np.float32)
             trajs = [normalize_trajectories(t, aabb) for t in trajs]
             trajs = [normalize_attributes(t) for t in trajs]
+            if hull is not None:
+                hull = SimulationMeshHull(
+                    vertices=_normalize_points(hull.vertices, aabb),
+                    triangles=hull.triangles,
+                    mesh_type=hull.mesh_type,
+                )
         return cls(
             trajs,
             ps_indices or list(range(len(trajs))),
             hierarchy_levels_ps=hier,
+            appearance_order_ps=appearance or None,
+            band_right_vectors_ps=bands if has_bands else None,
+            principal_stresses_ps=stresses or None,
+            hull=hull,
             name=name or (filenames[0] if filenames else "stress"),
         )
 
@@ -142,6 +216,7 @@ class LineDataStress(LineData):
         """Concatenate enabled PS direction sets into one padded container."""
         parts = []
         self._ps_of_line = []
+        band_parts, stress_parts = [], []
         max_p = max((t.max_points for t in self.trajectories_ps), default=8)
         for i, t in enumerate(self.trajectories_ps):
             keep = self._line_keep_mask(i)
@@ -154,9 +229,32 @@ class LineDataStress(LineData):
                     np.pad(mask, ((0, 0), (0, pad))),
                 )
             )
+            if self.band_right_vectors_ps is not None:
+                band_parts.append(
+                    np.pad(
+                        self.band_right_vectors_ps[i],
+                        ((0, 0), (0, pad), (0, 0)), mode="edge",
+                    )
+                )
+            if self.principal_stresses_ps is not None and i < len(
+                self.principal_stresses_ps
+            ):
+                stress_parts.append(
+                    np.pad(
+                        self.principal_stresses_ps[i],
+                        ((0, 0), (0, 0), (0, pad)), mode="edge",
+                    )
+                )
             self._ps_of_line.append(
                 np.full((t.num_lines,), self.ps_indices[i], np.int32)
             )
+        # Merged band/stress arrays aligned with the merged trajectories.
+        self.band_right_vectors = (
+            np.concatenate(band_parts) if band_parts else None
+        )
+        self.principal_stresses = (
+            np.concatenate(stress_parts) if stress_parts else None
+        )
         if not parts:
             return Trajectories(
                 np.zeros((0, 8, 3), np.float32),
@@ -189,3 +287,58 @@ class LineDataStress(LineData):
         return np.asarray(
             [PS_COLORS[min(i, 2)] for i in self.line_ps_index], np.float32
         )
+
+    # -- band geometry (v2/v3) ----------------------------------------------
+    def set_band_render_mode(self, mode: str) -> None:
+        if mode not in BAND_RENDER_MODES:
+            raise ValueError(f"Unknown band render mode {mode!r}")
+        self.band_render_mode = mode
+        self.mark_dirty()
+
+    def get_band_tube_mesh(
+        self,
+        band_width: float = 0.005,
+        min_band_thickness: float = 0.15,
+        num_subdivisions: int = 8,
+    ):
+        """Elliptic band tube mesh for the active band render mode
+        (LineDataStress.cpp:2654-2692). Requires v2/v3 band data."""
+        if self.band_right_vectors is None:
+            raise ValueError("This dataset carries no band geometry (v1?)")
+        from linevis_tpu.geometry.bands import (
+            build_band_tube_mesh,
+            build_principal_stress_tube_mesh,
+        )
+
+        t = self.trajectories
+        attr = t.attributes[:, self.selected_attribute_index]
+        if self.band_render_mode == "RIBBONS":
+            return build_band_tube_mesh(
+                t.positions, t.mask, attr, self.band_right_vectors,
+                band_width=band_width,
+                min_band_thickness=min_band_thickness,
+                num_subdivisions=num_subdivisions,
+            )
+        if self.principal_stresses is None:
+            raise ValueError(
+                f"{self.band_render_mode} needs per-point principal stresses"
+            )
+        return build_principal_stress_tube_mesh(
+            t.positions, t.mask, attr, self.band_right_vectors,
+            self.line_ps_index,
+            self.principal_stresses[:, 0],
+            self.principal_stresses[:, 1],
+            self.principal_stresses[:, 2],
+            band_width=band_width,
+            hyperstreamline=(self.band_render_mode == "HYPERSTREAMLINES"),
+            num_subdivisions=num_subdivisions,
+        )
+
+
+def _normalize_points(points: np.ndarray, aabb: np.ndarray) -> np.ndarray:
+    """Uniform AABB normalization, matching normalize_trajectories."""
+    lo, hi = aabb[0], aabb[1]
+    center = 0.5 * (lo + hi)
+    extent = float(np.max(hi - lo))
+    scale = 1.0 / extent if extent > 0 else 1.0
+    return ((points - center) * scale).astype(np.float32)
