@@ -31,11 +31,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from linevis_tpu.kernels.moment_math import (
+    transmittance_at_depth_4,
+    transmittance_at_depth_6,
+    transmittance_at_depth_8,
+)
 from linevis_tpu.kernels.raster_pallas import TILE_GROUP, SortedBinning
 
 __all__ = ["rasterize_capsules_mlab"]
 
 _BIG = 1e30
+
+# store modes that are pure per-pixel accumulators (no K-buffer insertion)
+_ACCUM_MODES = ("wboit", "count", "mboit_gen", "mboit_resolve")
 
 
 def _tf_eval_static(tf_color, tf_opacity, x):
@@ -77,8 +85,22 @@ def _mlab_kernel(
     tf_opacity: tuple,
     use_bands: bool,
     store_mode: str,  # 'shade' | 'gather' (opacity-optimization importance)
+    #  | 'wboit' | 'count' | 'mboit_gen' | 'mboit_resolve'
     alpha_from_rows: bool,  # alpha = row11 + row12*u (per-segment opacities)
+    n_mom: int,  # MBOIT power-moment count (4 | 6 | 8)
+    use_peel: bool,  # depth peeling: discard fragments at znd <= peel input
+    no_overflow: bool,  # drop evicted fragments instead of MLAB-merging
 ):
+    # mboit_resolve receives the per-pixel moment images (pass-1 output) as
+    # extra *inputs* ahead of the outputs: b0, n/2 odd, n/2 even moments.
+    # Depth peeling receives the previous pass's per-pixel max depth.
+    if store_mode == "mboit_resolve":
+        n_min = 1 + n_mom
+        mom_in = refs[:n_min]
+        refs = refs[n_min:]
+    if use_peel:
+        peel_in = refs[0]
+        refs = refs[1:]
     n_out = 5 * K
     out = refs[:n_out]
     coef_scr, sem = refs[n_out], refs[n_out + 1]
@@ -96,7 +118,7 @@ def _mlab_kernel(
     ly = (lin // tile_w).astype(jnp.float32)
     lx = (lin % tile_w).astype(jnp.float32)
 
-    d_init = 0.0 if store_mode in ("wboit", "count") else 2.0
+    d_init = 0.0 if store_mode in _ACCUM_MODES else 2.0
     for dref in d_refs:
         dref[:] = jnp.full(dref.shape, d_init, jnp.float32)
     for cref in (*r_refs, *g_refs, *b_refs, *a_refs):
@@ -108,6 +130,10 @@ def _mlab_kernel(
     dmax = params_ref[12]
     cue = params_ref[13]
     opacity_scale = params_ref[14]
+    log_dmin = params_ref[15]
+    log_dmax = params_ref[16]
+    m_bias = params_ref[17]
+    m_overest = params_ref[18]
 
     for k in range(TILE_GROUP):
         t = gi * TILE_GROUP + k
@@ -155,7 +181,12 @@ def _mlab_kernel(
                 # Early exit: later fragments can only merge into the last
                 # node; once the K-buffer's worst depth is nearer than all
                 # remaining fragments AND saturated, stop (MLAB truncation).
-                exit_now = chunk_zmin > zK_prev
+                # Accumulation modes must see EVERY fragment (their d_refs
+                # hold sums, not depths, so the depth test is meaningless).
+                if store_mode in _ACCUM_MODES:
+                    exit_now = jnp.bool_(False)
+                else:
+                    exit_now = chunk_zmin > zK_prev
 
                 @pl.when(jnp.logical_not(exit_now))
                 def _():
@@ -275,6 +306,15 @@ def _mlab_kernel(
                     cosc = 0.3 * cos1**e + 0.7 * cos2_**e
                     spec = 0.3 * cos1**30.0
                     tw = jnp.where(tcand < _BIG, two(t0) + tcand, _BIG)
+                    if use_peel:
+                        # Depth peeling (DepthPeelingRenderer.cpp:423):
+                        # fragments at or in front of the previous pass's
+                        # farthest extracted layer are already composited.
+                        vz_peel = tw * invlen
+                        znd_peel = zA - zB / jnp.maximum(vz_peel, 1e-12)
+                        tw = jnp.where(
+                            znd_peel > peel_in[k : k + 1, :], tw, _BIG
+                        )
                     if store_mode == "gather":
                         # Opacity-optimization gather pass: store importance
                         # g_i and segment id instead of shaded color
@@ -304,13 +344,91 @@ def _mlab_kernel(
                         gc = (rgb[1] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
                         bc = (rgb[2] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
 
-                    if store_mode in ("wboit", "count"):
+                    if store_mode in _ACCUM_MODES:
                         # Accumulation modes: no per-fragment ordering.
                         valid_c = tw < _BIG
+                        # MBOIT log depth warp (MBOITHeader.glsl:49-52).
+                        vz_acc = tw * invlen
+                        dw = jnp.clip(
+                            (jnp.log(jnp.maximum(vz_acc, 1e-9)) - log_dmin)
+                            / jnp.maximum(log_dmax - log_dmin, 1e-9)
+                            * 2.0
+                            - 1.0,
+                            -1.0, 1.0,
+                        )
                         if store_mode == "count":
                             d_refs[0][k : k + 1, :] += jnp.sum(
                                 jnp.where(valid_c, 1.0, 0.0), axis=0,
                                 keepdims=True,
+                            )
+                        elif store_mode == "mboit_gen":
+                            # Power-moment accumulation, single precision
+                            # (MomentOIT.glsl:69-133 generatePowerMoments).
+                            absorb = jnp.minimum(
+                                -jnp.log(jnp.maximum(1.0 - ac, 1e-7)), 10.0
+                            )
+                            absorb = jnp.where(valid_c, absorb, 0.0)
+                            d_refs[0][k : k + 1, :] += jnp.sum(
+                                absorb, axis=0, keepdims=True
+                            )
+                            odd_slots = (
+                                r_refs[0], g_refs[0], b_refs[0], a_refs[0]
+                            )
+                            even_slots = (
+                                d_refs[1], r_refs[1], g_refs[1], b_refs[1]
+                            )
+                            d2 = dw * dw
+                            pow_odd = dw
+                            pow_even = d2
+                            for j in range(n_mom // 2):
+                                odd_slots[j][k : k + 1, :] += jnp.sum(
+                                    pow_odd * absorb, axis=0, keepdims=True
+                                )
+                                even_slots[j][k : k + 1, :] += jnp.sum(
+                                    pow_even * absorb, axis=0, keepdims=True
+                                )
+                                pow_odd = pow_odd * d2
+                                pow_even = pow_even * d2
+                        elif store_mode == "mboit_resolve":
+                            # Pass 2: reconstruct per-fragment transmittance
+                            # from the pass-1 moments and accumulate weighted
+                            # premultiplied color (MBOITPass2.glsl:21-37).
+                            nh = n_mom // 2
+                            b0v = mom_in[0][k : k + 1, :]
+                            inv_b0 = 1.0 / jnp.maximum(b0v, 1e-6)
+                            odds = tuple(
+                                mom_in[1 + j][k : k + 1, :] * inv_b0
+                                for j in range(nh)
+                            )
+                            evens = tuple(
+                                mom_in[1 + nh + j][k : k + 1, :] * inv_b0
+                                for j in range(nh)
+                            )
+                            trans_fn = {
+                                4: transmittance_at_depth_4,
+                                6: transmittance_at_depth_6,
+                                8: transmittance_at_depth_8,
+                            }[n_mom]
+                            T_at = trans_fn(
+                                b0v, evens, odds, dw, m_bias, m_overest
+                            )
+                            # b_0 below threshold -> no absorbance recorded
+                            # (resolveMoments discard, MomentOIT.glsl:421).
+                            T_at = jnp.where(
+                                b0v < 0.00100050033, 1.0, T_at
+                            )
+                            wgt = jnp.where(valid_c, ac * T_at, 0.0)
+                            r_refs[0][k : k + 1, :] += jnp.sum(
+                                wgt * rc, axis=0, keepdims=True
+                            )
+                            g_refs[0][k : k + 1, :] += jnp.sum(
+                                wgt * gc, axis=0, keepdims=True
+                            )
+                            b_refs[0][k : k + 1, :] += jnp.sum(
+                                wgt * bc, axis=0, keepdims=True
+                            )
+                            a_refs[0][k : k + 1, :] += jnp.sum(
+                                wgt, axis=0, keepdims=True
                             )
                         else:
                             # WBOIT depth weight (WBOITGather.glsl:14-37).
@@ -349,7 +467,7 @@ def _mlab_kernel(
                                 axis=0, keepdims=True,
                             )
 
-                    extraction_slots = 0 if store_mode in ("wboit", "count") else K
+                    extraction_slots = 0 if store_mode in _ACCUM_MODES else K
                     # K nearest extractions + insertion into the node array.
                     for _slot in range(extraction_slots):
                         bt = jnp.min(tw, axis=0, keepdims=True)  # [1, P]
@@ -409,18 +527,19 @@ def _mlab_kernel(
                                 jnp.where(take, cur[i], carry[i])
                                 for i in range(5)
                             )
-                        # Evicted fragment: composite into the last node
-                        # (MLAB overflow merge), weighted by its remaining
-                        # transmittance under the node.
-                        evict_has = has & (carry[0] < 2.0)
-                        aK = a_refs[K - 1][k : k + 1, :]
-                        w = jnp.where(evict_has, 1.0 - aK, 0.0)
-                        r_refs[K - 1][k : k + 1, :] += w * carry[1]
-                        g_refs[K - 1][k : k + 1, :] += w * carry[2]
-                        b_refs[K - 1][k : k + 1, :] += w * carry[3]
-                        a_refs[K - 1][k : k + 1, :] = jnp.minimum(
-                            aK + w * carry[4], 1.0
-                        )
+                        if not no_overflow:
+                            # Evicted fragment: composite into the last node
+                            # (MLAB overflow merge), weighted by its remaining
+                            # transmittance under the node.
+                            evict_has = has & (carry[0] < 2.0)
+                            aK = a_refs[K - 1][k : k + 1, :]
+                            w = jnp.where(evict_has, 1.0 - aK, 0.0)
+                            r_refs[K - 1][k : k + 1, :] += w * carry[1]
+                            g_refs[K - 1][k : k + 1, :] += w * carry[2]
+                            b_refs[K - 1][k : k + 1, :] += w * carry[3]
+                            a_refs[K - 1][k : k + 1, :] = jnp.minimum(
+                                aK + w * carry[4], 1.0
+                            )
                         tw = jnp.where(win, _BIG, tw)
 
                 zK = jnp.max(d_refs[K - 1][k : k + 1, :])
@@ -434,12 +553,13 @@ def _mlab_kernel(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
-        "use_bands", "store_mode", "alpha_from_rows", "interpret",
+        "use_bands", "store_mode", "alpha_from_rows", "n_mom",
+        "no_overflow", "interpret",
     ),
 )
 def rasterize_capsules_mlab(
     csr: SortedBinning,
-    params: jnp.ndarray,  # [16]
+    params: jnp.ndarray,  # [20]
     width: int,
     height: int,
     tile_w: int = 32,
@@ -450,12 +570,23 @@ def rasterize_capsules_mlab(
     use_bands: bool = False,
     store_mode: str = "shade",
     alpha_from_rows: bool = False,
+    n_mom: int = 4,
+    moments: jnp.ndarray = None,  # [1 + n_mom, n_tiles, P] for mboit_resolve
+    peel: jnp.ndarray = None,  # [n_tiles, P] znd threshold (depth peeling)
+    no_overflow: bool = False,  # drop evicted fragments (exact peeling pass)
     interpret: bool = False,
 ):
     """MLAB-K transparency pass.
 
     Returns (depths [K, n_tiles, P], premultiplied rgb [3, K, n_tiles, P],
     alpha [K, n_tiles, P]). Empty nodes have depth 2.0 and alpha 0.
+
+    store_mode 'mboit_gen' (requires K=2) accumulates MBOIT power moments:
+    channel layout b0 -> depths[0]; odd moments m1,m3(,m5,m7) -> rgb[0,0],
+    rgb[1,0], rgb[2,0], alpha[0]; even moments m2,m4(,m6,m8) -> depths[1],
+    rgb[0,1], rgb[1,1], rgb[2,1].  store_mode 'mboit_resolve' takes the
+    stacked pass-1 channels via `moments` (order: b0, odds, evens) and
+    accumulates (rgb*a*T_at_depth, a*T_at_depth) into rgb[:,0]/alpha[0].
     """
     n_tiles = csr.tile_start.shape[0]
     C = csr.chunk
@@ -465,6 +596,8 @@ def rasterize_capsules_mlab(
     counts = jnp.pad(csr.tile_count, (0, n_pad - n_tiles))
     starts = jnp.pad(csr.tile_start, (0, n_pad - n_tiles))
     n_out = 5 * K
+    if store_mode == "mboit_gen" and K != 2:
+        raise ValueError("mboit_gen requires K=2 (moment channel layout)")
 
     kernel = functools.partial(
         _mlab_kernel,
@@ -480,11 +613,35 @@ def rasterize_capsules_mlab(
         use_bands=use_bands,
         store_mode=store_mode,
         alpha_from_rows=alpha_from_rows,
+        n_mom=n_mom,
+        use_peel=peel is not None,
+        no_overflow=no_overflow,
     )
+    extra_in = []
+    extra_in_specs = []
+    pad_t = n_pad - n_tiles
+
+    def _blocked_input(arr):
+        extra_in.append(jnp.pad(arr, ((0, pad_t), (0, 0))))
+        extra_in_specs.append(
+            pl.BlockSpec(
+                (TILE_GROUP, P), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    if store_mode == "mboit_resolve":
+        n_min = 1 + n_mom
+        if moments is None or moments.shape[0] != n_min:
+            raise ValueError(f"mboit_resolve needs moments[{n_min}, T, P]")
+        for i in range(n_min):
+            _blocked_input(moments[i])
+    if peel is not None:
+        _blocked_input(peel)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_pad // TILE_GROUP,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + extra_in_specs,
         out_specs=[
             pl.BlockSpec(
                 (TILE_GROUP, P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
@@ -501,7 +658,7 @@ def rasterize_capsules_mlab(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad, P), jnp.float32)] * n_out,
         interpret=interpret,
-    )(counts, starts, params, csr.payload)
+    )(counts, starts, params, csr.payload, *extra_in)
     outs = [o[:n_tiles] for o in outs]
     depths = jnp.stack(outs[0:K], axis=0)
     rgb = jnp.stack(

@@ -155,6 +155,213 @@ def render_tubes_wboit(
     )
 
 
+def _mlab_params(scene, view_proj, params, settings, opacity):
+    """Fill depth-cue + opacity slots shared by the transparent passes."""
+    w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]
+    big = jnp.float32(3e38)
+    dmin = jnp.min(jnp.where(scene.mask, w_all, big))
+    dmax = jnp.max(jnp.where(scene.mask, w_all, -big))
+    params = params.at[11].set(dmin).at[12].set(dmax)
+    params = params.at[13].set(settings.depth_cue_strength)
+    params = params.at[14].set(opacity)
+    return params
+
+
+@partial(jax.jit, static_argnames=("settings", "K", "passes", "opacity"))
+def render_tubes_depth_peeling(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+    K: int = 8,
+    passes: int = 4,
+    opacity: float = 0.3,
+) -> jnp.ndarray:
+    """Depth peeling (reference DepthPeelingRenderer.cpp:423).
+
+    Each pass extracts the next K nearest layers EXACTLY (no overflow
+    merge) beyond the previous pass's per-pixel peel depth — K layers per
+    pass instead of the reference's one, so `passes*K` total exact layers.
+    """
+    csr, params, _ = prepare_capsule_frame(
+        scene, view_proj, camera_position, proj_ab, settings
+    )
+    params = _mlab_params(scene, view_proj, params, settings, opacity)
+    interpret = jax.default_backend() == "cpu"
+    n_tiles = csr.tile_start.shape[0]
+    P = settings.tile_w * settings.tile_h
+    peel = jnp.full((n_tiles, P), -1.0, jnp.float32)
+    T = jnp.ones((n_tiles, P), jnp.float32)
+    acc = jnp.zeros((3, n_tiles, P), jnp.float32)
+    for _ in range(passes):
+        depths, rgb, alpha = rasterize_capsules_mlab(
+            csr, params, settings.width, settings.height,
+            settings.tile_w, settings.tile_h, K,
+            settings.tf_color, settings.tf_opacity,
+            peel=peel, no_overflow=True, interpret=interpret,
+        )
+        for i in range(K):
+            acc = acc + T[None] * rgb[:, i]
+            T = T * (1.0 - alpha[i])
+        # Next peel depth: farthest extracted layer (2.0 marks empty).
+        # Monotone: an empty pass must not reset the threshold, else the
+        # following pass re-extracts (and re-blends) earlier layers.
+        peel = jnp.maximum(
+            peel, jnp.max(jnp.where(depths < 1.5, depths, -1.0), axis=0)
+        )
+
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    out = acc + T[None] * bg[:3, None, None]
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+            settings.width, settings.height,
+        )
+
+    return jnp.stack([unp(out[0]), unp(out[1]), unp(out[2]), unp(1.0 - T)], 0)
+
+
+@partial(jax.jit, static_argnames=("settings", "K", "opacity"))
+def render_tubes_mlab_buckets(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+    K: int = 8,
+    opacity: float = 0.3,
+) -> jnp.ndarray:
+    """MLAB (Buckets) — reference MLABBucketRenderer: the nearest bucket of
+    fragments is kept exact, the far bucket degrades to MLAB overflow
+    merging.  Realized as one exact peel pass (K nearest layers, no merge)
+    followed by one MLAB pass over the remaining fragments.
+    """
+    csr, params, _ = prepare_capsule_frame(
+        scene, view_proj, camera_position, proj_ab, settings
+    )
+    params = _mlab_params(scene, view_proj, params, settings, opacity)
+    interpret = jax.default_backend() == "cpu"
+    n_tiles = csr.tile_start.shape[0]
+    P = settings.tile_w * settings.tile_h
+    peel = jnp.full((n_tiles, P), -1.0, jnp.float32)
+    T = jnp.ones((n_tiles, P), jnp.float32)
+    acc = jnp.zeros((3, n_tiles, P), jnp.float32)
+    # Bucket 0: exact nearest-K extraction.
+    depths, rgb, alpha = rasterize_capsules_mlab(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, K,
+        settings.tf_color, settings.tf_opacity,
+        peel=peel, no_overflow=True, interpret=interpret,
+    )
+    for i in range(K):
+        acc = acc + T[None] * rgb[:, i]
+        T = T * (1.0 - alpha[i])
+    peel = jnp.max(jnp.where(depths < 1.5, depths, -1.0), axis=0)
+    # Bucket 1: remaining fragments with MLAB overflow merge.
+    _, rgb2, alpha2 = rasterize_capsules_mlab(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, K,
+        settings.tf_color, settings.tf_opacity,
+        peel=peel, interpret=interpret,
+    )
+    for i in range(K):
+        acc = acc + T[None] * rgb2[:, i]
+        T = T * (1.0 - alpha2[i])
+
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    out = acc + T[None] * bg[:3, None, None]
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+            settings.width, settings.height,
+        )
+
+    return jnp.stack([unp(out[0]), unp(out[1]), unp(out[2]), unp(1.0 - T)], 0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "n_mom", "opacity", "overestimation",
+                     "moment_bias"),
+)
+def render_tubes_mboit(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+    n_mom: int = 4,
+    opacity: float = 0.3,
+    overestimation: float = 0.1,
+    moment_bias: float = None,
+) -> jnp.ndarray:
+    """Moment-based OIT (reference MBOITRenderer.cpp:688, power moments,
+    single precision).  Two fragment passes over the same binning: pass 1
+    accumulates absorbance power moments, pass 2 reconstructs per-fragment
+    transmittance and accumulates weighted color; the blend follows
+    MBOITBlend.glsl:100-101.
+    """
+    if moment_bias is None:
+        # FLOAT_32 defaults (MBOITRenderer.cpp:134-145).
+        moment_bias = {4: 5e-7, 6: 5e-6, 8: 5e-5}[n_mom]
+    csr, params, basis = prepare_capsule_frame(
+        scene, view_proj, camera_position, proj_ab, settings
+    )
+    # Log depth range over the scene AABB in view space with the reference's
+    # 0.1 offset (MBOITRenderer::computeDepthRange).
+    w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]
+    big = jnp.float32(3e38)
+    near = proj_ab[1] / jnp.maximum(proj_ab[0], 1e-9)
+    dmin = jnp.min(jnp.where(scene.mask, w_all, big))
+    dmax = jnp.max(jnp.where(scene.mask, w_all, -big))
+    zmin = jnp.maximum(dmin - scene.radius - 0.1, near)
+    zmax = jnp.maximum(dmax + scene.radius + 0.1, near * 2.0)
+    params = params.at[11].set(dmin).at[12].set(dmax)
+    params = params.at[13].set(settings.depth_cue_strength)
+    params = params.at[14].set(opacity)
+    params = params.at[15].set(jnp.log(zmin)).at[16].set(jnp.log(zmax))
+    params = params.at[17].set(moment_bias).at[18].set(overestimation)
+
+    interpret = jax.default_backend() == "cpu"
+    depths, rgb, alpha = rasterize_capsules_mlab(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, 2,
+        settings.tf_color, settings.tf_opacity,
+        store_mode="mboit_gen", n_mom=n_mom, interpret=interpret,
+    )
+    b0 = depths[0]
+    odd_ch = (rgb[0, 0], rgb[1, 0], rgb[2, 0], alpha[0])[: n_mom // 2]
+    even_ch = (depths[1], rgb[0, 1], rgb[1, 1], rgb[2, 1])[: n_mom // 2]
+    moments = jnp.stack([b0, *odd_ch, *even_ch], axis=0)
+
+    _, rgb2, alpha2 = rasterize_capsules_mlab(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, 1,
+        settings.tf_color, settings.tf_opacity,
+        store_mode="mboit_resolve", n_mom=n_mom, moments=moments,
+        interpret=interpret,
+    )
+    accum_rgb = rgb2[:, 0]
+    accum_a = jnp.maximum(alpha2[0], 1e-6)
+    total_t = jnp.exp(-b0)
+    src_a = 1.0 - total_t
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    out = (accum_rgb / accum_a[None]) * src_a[None] + (
+        total_t[None] * bg[:3, None, None]
+    )
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+            settings.width, settings.height,
+        )
+
+    return jnp.stack([unp(out[0]), unp(out[1]), unp(out[2]), unp(src_a)], 0)
+
+
 @partial(jax.jit, static_argnames=("settings",))
 def render_depth_complexity(
     scene: CapsuleScene,

@@ -37,6 +37,7 @@ class LineRenderer:
     def __init__(self, settings: Optional[SettingsMap] = None):
         self.line_data: Optional[LineData] = None
         self.transfer_function = TransferFunction.standard()
+        self.transfer_function_range = None  # (vmin, vmax) in attr space
         self.depth_cue_strength = 0.0
         self.opacity = 0.3
         self.settings = SettingsMap()
@@ -59,6 +60,25 @@ class LineRenderer:
 
     def _raster_settings(self, camera: Camera) -> RasterSettings:
         c_pts, o_pts = self.transfer_function.as_static_points()
+        if self.transfer_function_range is not None:
+            # Remap TF control points into [vmin, vmax] of the normalized
+            # attribute (reference set_transfer_functions_range,
+            # ReplayWidget.cpp:576-624 -> TransferFunctionWindow range).
+            vmin, vmax = self.transfer_function_range
+            span = vmax - vmin
+
+            def remap(pts):
+                inner = tuple(
+                    (vmin + p[0] * span,) + tuple(p[1:]) for p in pts
+                )
+                # Clamp outside [vmin, vmax] to the edge values.
+                return (
+                    ((0.0,) + tuple(pts[0][1:]),)
+                    + inner
+                    + ((1.0,) + tuple(pts[-1][1:]),)
+                )
+
+            c_pts, o_pts = remap(c_pts), remap(o_pts)
         return RasterSettings(
             width=camera.width,
             height=camera.height,
@@ -134,6 +154,80 @@ class WBOITRenderer(LineRenderer):
             jnp.asarray(np.asarray(camera.position, np.float32)),
             jnp.asarray(_proj_constants(camera)),
             self._raster_settings(camera),
+            opacity=self.opacity,
+        )
+        return np.moveaxis(np.asarray(img), 0, -1)
+
+
+class _OitImageBase(LineRenderer):
+    """Shared plumbing for OIT renderers taking (vp, cp, proj_ab)."""
+
+    def _render_with(self, camera: Camera, fn, **kw) -> np.ndarray:
+        import jax.numpy as jnp
+        from linevis_tpu.render.tube_raster import _proj_constants
+
+        scene = self.line_data.get_capsule_scene()
+        img = fn(
+            scene,
+            jnp.asarray(camera.view_projection_matrix()),
+            jnp.asarray(np.asarray(camera.position, np.float32)),
+            jnp.asarray(_proj_constants(camera)),
+            self._raster_settings(camera),
+            opacity=self.opacity,
+            **kw,
+        )
+        return np.moveaxis(np.asarray(img), 0, -1)
+
+
+class DepthPeelingRenderer(_OitImageBase):
+    """Reference RENDERING_MODE_DEPTH_PEELING (DepthPeelingRenderer.cpp:423):
+    exact front-to-back peeling, K layers per pass x 4 passes."""
+
+    name = "Depth Peeling"
+
+    def render(self, camera: Camera) -> np.ndarray:
+        from linevis_tpu.render.oit import render_tubes_depth_peeling
+
+        return self._render_with(camera, render_tubes_depth_peeling)
+
+
+class MLABBucketRenderer(_OitImageBase):
+    """Reference RENDERING_MODE_MLAB_BUCKETS (MLABBucketRenderer.*): exact
+    near bucket + MLAB-merged far bucket."""
+
+    name = "MLAB (Buckets)"
+
+    def render(self, camera: Camera) -> np.ndarray:
+        from linevis_tpu.render.oit import render_tubes_mlab_buckets
+
+        return self._render_with(camera, render_tubes_mlab_buckets)
+
+
+class MBOITRenderer(LineRenderer):
+    """Reference RENDERING_MODE_MBOIT (MBOITRenderer.cpp:688): power-moment
+    transmittance reconstruction, 4 moments / float32 defaults."""
+
+    name = "Moment-Based OIT"
+    n_mom = 4
+
+    def set_new_settings(self, settings: SettingsMap) -> None:
+        super().set_new_settings(settings)
+        if settings.has_key("numMoments"):
+            self.n_mom = settings.get_int("numMoments")
+
+    def render(self, camera: Camera) -> np.ndarray:
+        import jax.numpy as jnp
+        from linevis_tpu.render.oit import render_tubes_mboit
+        from linevis_tpu.render.tube_raster import _proj_constants
+
+        scene = self.line_data.get_capsule_scene()
+        img = render_tubes_mboit(
+            scene,
+            jnp.asarray(camera.view_projection_matrix()),
+            jnp.asarray(np.asarray(camera.position, np.float32)),
+            jnp.asarray(_proj_constants(camera)),
+            self._raster_settings(camera),
+            n_mom=self.n_mom,
             opacity=self.opacity,
         )
         return np.moveaxis(np.asarray(img), 0, -1)
@@ -227,9 +321,28 @@ register_renderer("Multi-Layer Alpha Blending", MLABRenderer)
 register_renderer(
     "Weighted Blended Order Independent Transparency", WBOITRenderer
 )
+register_renderer("WBOIT", WBOITRenderer)  # RENDERING_MODE_NAMES[8]
+register_renderer("Moment-Based OIT", MBOITRenderer)
+register_renderer("Depth Peeling", DepthPeelingRenderer)
+register_renderer("MLAB (Buckets)", MLABBucketRenderer)
 register_renderer("Depth Complexity", DepthComplexityRenderer)
 register_renderer("Opacity Optimization", OpacityOptimizationRendererMode)
 register_renderer("Vulkan Ray Tracer", RtaoRenderer)
+
+
+def _register_scattering_modes():
+    from linevis_tpu.render.line_density_map import LineDensityMapRenderer
+    from linevis_tpu.render.spherical_heatmap import SphericalHeatMapRenderer
+    from linevis_tpu.render.vpt import VolumetricPathTracerRenderer
+    from linevis_tpu.render.vrc import VoxelRayCastingRenderer
+
+    register_renderer("Line Density Map Renderer", LineDensityMapRenderer)
+    register_renderer("Spherical Heat Map Renderer", SphericalHeatMapRenderer)
+    register_renderer("Voxel Ray Casting", VoxelRayCastingRenderer)
+    register_renderer("Volumetric Path Tracer", VolumetricPathTracerRenderer)
+
+
+_register_scattering_modes()
 
 RENDERING_MODE_ALL = tuple(_REGISTRY.keys())
 

@@ -199,8 +199,11 @@ def prepare_capsule_frame(
 
     basis = _ray_basis(view_proj)  # columns right, up, fwd
     # params rows 0-8: B row-major where dir_i = B[i,0]*u + B[i,1]*v + B[i,2].
+    # 9 zA, 10 zB, 11 dmin, 12 dmax, 13 depth-cue, 14 opacity scale,
+    # 15 logDepthMin, 16 logDepthMax, 17 moment bias, 18 overestimation
+    # (15-18 are MBOIT, MomentOIT.glsl uniforms), 19 spare.
     params = jnp.concatenate(
-        [basis.reshape(-1), proj_ab, jnp.zeros((5,), jnp.float32)]
+        [basis.reshape(-1), proj_ab, jnp.zeros((9,), jnp.float32)]
     )
     return csr, params, basis
 

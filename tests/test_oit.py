@@ -99,3 +99,98 @@ def test_wboit_and_depth_complexity():
     # Coverage alpha at center matches 1 - (1-a)^(2n).
     expect = 1.0 - (1.0 - 0.4) ** (2 * n)
     assert abs(img[3, H // 2, W // 2] - expect) < 1e-2
+
+
+def test_mboit_vs_exact_blend():
+    """MBOIT approximates exact sorted blending (reference claim: MBOIT ~
+    MLAB quality for moderate depth complexity)."""
+    import jax.numpy as jnp
+    from linevis_tpu.render.oit import render_tubes_mboit
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    scene = _layered_scene(3)
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+
+    exact = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=0.4)
+    for n_mom in (4, 6, 8):
+        img = np.moveaxis(
+            np.asarray(render_tubes_mboit(
+                scene, vp, cp, ab, S, n_mom=n_mom, opacity=0.4
+            )), 0, -1,
+        )
+        assert np.isfinite(img).all()
+        # Coverage (1 - total transmittance) is EXACT in MBOIT.
+        np.testing.assert_allclose(
+            img[..., 3], exact[..., 3], atol=2e-3,
+        )
+        diff = np.abs(img[..., :3] - exact[..., :3])
+        assert diff.mean() < 0.02, (n_mom, diff.mean())
+        assert diff.max() < 0.25, (n_mom, diff.max())
+
+
+def test_mboit_single_layer_near_exact():
+    """One transparent layer: moment reconstruction is exact."""
+    import jax.numpy as jnp
+    from linevis_tpu.render.oit import render_tubes_mboit
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    scene = _layered_scene(1)
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+    exact = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=0.5)
+    img = np.moveaxis(
+        np.asarray(render_tubes_mboit(scene, vp, cp, ab, S, opacity=0.5)),
+        0, -1,
+    )
+    diff = np.abs(img - exact)
+    assert diff.max() < 0.06, diff.max()
+
+
+def test_depth_peeling_exact_beyond_k():
+    """Peeling with K=2 x 4 passes must equal exact K=32 blending on a
+    6-layer scene (depth complexity 12 > any single pass's K)."""
+    import jax.numpy as jnp
+    from linevis_tpu.render.oit import render_tubes_depth_peeling
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    scene = _layered_scene(3)  # 6 fragments/pixel at center
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+    exact = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=0.4)
+    img = np.moveaxis(
+        np.asarray(render_tubes_depth_peeling(
+            scene, vp, cp, ab, S, K=2, passes=4, opacity=0.4
+        )), 0, -1,
+    )
+    np.testing.assert_allclose(img, exact, atol=2e-3)
+
+
+def test_mlab_buckets_near_exact():
+    import jax.numpy as jnp
+    from linevis_tpu.render.oit import render_tubes_mlab_buckets
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    scene = _layered_scene(3)
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+    exact = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=0.4)
+    # K=4 buckets: 4 exact + 4 merged covers all 6 layers exactly here.
+    img = np.moveaxis(
+        np.asarray(render_tubes_mlab_buckets(
+            scene, vp, cp, ab, S, K=4, opacity=0.4
+        )), 0, -1,
+    )
+    np.testing.assert_allclose(img, exact, atol=2e-3)
