@@ -40,6 +40,12 @@ def load_flow_trajectories_from_file(
         data: BinLinesData = load_trajectories_from_binlines(filename)
         ragged = data.trajectories
         vertices_normalized = data.vertices_normalized
+    elif lower.endswith(".nc"):
+        from linevis_tpu.loaders.netcdf_lines import (
+            load_trajectories_from_netcdf,
+        )
+
+        ragged = load_trajectories_from_netcdf(filename)
     else:
         raise ValueError(f"Unknown line file extension: {filename}")
 

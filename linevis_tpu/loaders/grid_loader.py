@@ -1,0 +1,200 @@
+"""Structured vector-field grid loaders for the streamline tracer.
+
+Mirrors the reference's grid loader family (`src/LineData/Flow/Loader/*`,
+~2,900 LoC across 9 loaders).  Implemented here:
+
+- VTK legacy structured grids, ASCII and BINARY (big-endian), DATASET
+  STRUCTURED_POINTS / STRUCTURED_GRID with POINT_DATA VECTORS + SCALARS
+  (`StructuredGridVtkLoader.cpp:216-380` token grammar).
+- `.dat`/`.raw` pairs: text header with resolution + format, raw
+  little-endian binary payload (`DatRawFileLoader.cpp` role).
+
+Outputs are channels-last [Z, Y, X, 3] velocity grids (+ named scalar
+fields) feeding `trace_streamlines_grid` (trace/streamline.py) — VTK's
+value order is x-fastest, so a flat array reshapes to (Z, Y, X) directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+__all__ = ["GridData", "load_vtk_structured_grid", "load_dat_raw_grid",
+           "load_grid_file"]
+
+
+@dataclasses.dataclass
+class GridData:
+    """A structured vector-field grid + optional scalar fields."""
+
+    velocity: np.ndarray  # [Z, Y, X, 3] float32
+    scalars: Dict[str, np.ndarray]  # each [Z, Y, X] float32
+    origin: np.ndarray  # [3] world min corner
+    spacing: np.ndarray  # [3] cell size
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return self.velocity.shape[:3]
+
+
+def _reshape_zyx(values: np.ndarray, nx: int, ny: int, nz: int, comps: int):
+    if comps == 1:
+        return values.reshape(nz, ny, nx)
+    return values.reshape(nz, ny, nx, comps)
+
+
+def load_vtk_structured_grid(filename: str) -> GridData:
+    with open(filename, "rb") as f:
+        raw = f.read()
+
+    # Header lines are ASCII even in BINARY files.
+    pos = 0
+
+    def next_line():
+        nonlocal pos
+        end = raw.find(b"\n", pos)
+        if end < 0:
+            line, new_pos = raw[pos:], len(raw)
+        else:
+            line, new_pos = raw[pos:end], end + 1
+        pos = new_pos
+        return line.decode("ascii", "replace").strip()
+
+    binary = False
+    nx = ny = nz = 0
+    origin = np.zeros(3, np.float32)
+    spacing = np.ones(3, np.float32)
+    velocity: Optional[np.ndarray] = None
+    scalars: Dict[str, np.ndarray] = {}
+    n_points = 0
+
+    def read_floats(count):
+        """Read `count` floats after the current header line."""
+        nonlocal pos
+        if binary:
+            arr = np.frombuffer(raw, dtype=">f4", count=count, offset=pos)
+            pos += 4 * count
+            return arr.astype(np.float32)
+        vals = []
+        while len(vals) < count and pos < len(raw):
+            line = next_line()
+            if line:
+                vals.extend(float(tok) for tok in line.split())
+        return np.asarray(vals[:count], np.float32)
+
+    while pos < len(raw):
+        line = next_line()
+        if not line or line.startswith("#"):
+            continue
+        tok = line.split()
+        key = tok[0].upper()
+        if key == "BINARY":
+            binary = True
+        elif key == "ASCII":
+            binary = False
+        elif key == "DATASET":
+            pass  # STRUCTURED_POINTS or STRUCTURED_GRID
+        elif key == "DIMENSIONS":
+            nx, ny, nz = int(tok[1]), int(tok[2]), int(tok[3])
+        elif key == "ORIGIN":
+            origin = np.asarray([float(t) for t in tok[1:4]], np.float32)
+        elif key == "SPACING" or key == "ASPECT_RATIO":
+            spacing = np.asarray([float(t) for t in tok[1:4]], np.float32)
+        elif key == "POINTS":
+            count = int(tok[1])
+            pts = read_floats(count * 3).reshape(count, 3)
+            # Structured grid: infer origin/spacing from the regular
+            # lattice corners (reference treats the grid as regular too).
+            origin = pts.min(axis=0)
+            upper = pts.max(axis=0)
+            denom = np.maximum(np.asarray([nx, ny, nz], np.float32) - 1, 1)
+            spacing = (upper - origin) / denom
+        elif key in ("POINT_DATA", "CELL_DATA"):
+            n_points = int(tok[1])
+        elif key == "VECTORS":
+            count = n_points or nx * ny * nz
+            vals = read_floats(count * 3)
+            velocity = _reshape_zyx(vals, nx, ny, nz, 3)
+        elif key == "SCALARS":
+            name = tok[1]
+            comps = int(tok[3]) if len(tok) > 3 else 1
+            lut = next_line()  # LOOKUP_TABLE line
+            if not lut.upper().startswith("LOOKUP_TABLE"):
+                # No LUT line: rewind by treating it as data (ASCII only).
+                pos -= len(lut) + 1
+            count = (n_points or nx * ny * nz) * comps
+            vals = read_floats(count)
+            scalars[name] = _reshape_zyx(vals, nx, ny, nz, comps)
+        # other keys ignored
+
+    if velocity is None:
+        raise ValueError(f"{filename}: no VECTORS point data found")
+    return GridData(
+        velocity=velocity.astype(np.float32),
+        scalars=scalars,
+        origin=origin,
+        spacing=spacing,
+    )
+
+
+def load_dat_raw_grid(filename: str) -> GridData:
+    """`.dat` text header + `.raw` binary (DatRawFileLoader role).
+
+    Header keys (case-insensitive): ObjectFileName, Resolution (x y z),
+    Format (FLOAT / UCHAR / USHORT), optional SliceThickness.
+    Vector fields use Format FLOAT3.
+    """
+    header: Dict[str, str] = {}
+    with open(filename, "r") as f:
+        for line in f:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                header[k.strip().lower()] = v.strip()
+    res = [int(t) for t in re.split(r"[,\s]+", header["resolution"]) if t]
+    nx, ny, nz = res[0], res[1], res[2]
+    fmt = header.get("format", "float").lower()
+    raw_name = header["objectfilename"]
+    raw_path = os.path.join(os.path.dirname(filename) or ".", raw_name)
+    spacing = np.ones(3, np.float32)
+    if "slicethickness" in header:
+        st = [float(t) for t in re.split(r"[,\s]+", header["slicethickness"]) if t]
+        spacing = np.asarray(st[:3], np.float32)
+
+    dtype, comps = {
+        "float": (np.float32, 1),
+        "float3": (np.float32, 3),
+        "float4": (np.float32, 4),
+        "uchar": (np.uint8, 1),
+        "ushort": (np.uint16, 1),
+    }[fmt]
+    data = np.fromfile(raw_path, dtype=dtype)
+    if dtype == np.uint8:
+        data = data.astype(np.float32) / 255.0
+    elif dtype == np.uint16:
+        data = data.astype(np.float32) / 65535.0
+    else:
+        data = data.astype(np.float32)
+
+    if comps >= 3:
+        grid = data.reshape(nz, ny, nx, comps)[..., :3]
+        return GridData(grid, {}, np.zeros(3, np.float32), spacing)
+    scalar = data.reshape(nz, ny, nx)
+    return GridData(
+        velocity=np.zeros((nz, ny, nx, 3), np.float32),
+        scalars={"scalar": scalar},
+        origin=np.zeros(3, np.float32),
+        spacing=spacing,
+    )
+
+
+def load_grid_file(filename: str) -> GridData:
+    lower = filename.lower()
+    if lower.endswith(".vtk"):
+        return load_vtk_structured_grid(filename)
+    if lower.endswith(".dat"):
+        return load_dat_raw_grid(filename)
+    raise ValueError(f"Unknown grid file extension: {filename}")

@@ -138,3 +138,139 @@ def test_dataset_list(tmp_path):
     # Stress default transform rotate(270°,1,0,0) applied
     assert f.transform is not None
     assert len(f.attribute_names) == 9  # v3 defaults
+
+
+def test_netcdf_trajectories_roundtrip(tmp_path):
+    """Write a CF-style trajectory .nc (scipy classic), read it back with
+    the dispatcher (NetCdfLineLoader.cpp:360-465 semantics)."""
+    import numpy as np
+    from scipy.io import netcdf_file
+
+    from linevis_tpu.loaders.netcdf_lines import load_trajectories_from_netcdf
+
+    n_traj, n_time = 3, 10
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-0.4, 0.4, (1, n_traj, n_time)).astype(np.float32)
+    lat = rng.uniform(-0.4, 0.4, (1, n_traj, n_time)).astype(np.float32)
+    pressure = rng.uniform(100.0, 1000.0, (1, n_traj, n_time)).astype(np.float32)
+    # Trajectory 1: invalid tail (truncates), trajectory 2: invalid lead.
+    pressure[0, 1, 7:] = np.nan
+    pressure[0, 2, :2] = -1.0
+    extra = rng.uniform(0, 1, (1, n_traj, n_time)).astype(np.float32)
+
+    path = str(tmp_path / "traj.nc")
+    f = netcdf_file(path, "w")
+    f.createDimension("ensemble", 1)
+    f.createDimension("trajectory", n_traj)
+    f.createDimension("time", n_time)
+    dims = ("ensemble", "trajectory", "time")
+    for name, data in [("lon", lon), ("lat", lat), ("pressure", pressure),
+                       ("vorticity", extra)]:
+        v = f.createVariable(name, "f", dims)
+        v[:] = data
+    f.variables["vorticity"].standard_name = "Vorticity"
+    f.close()
+
+    ragged = load_trajectories_from_netcdf(path)
+    assert ragged.num_lines == 3
+    assert [p.shape[0] for p in ragged.positions] == [10, 7, 8]
+    # lat -> x, lon -> z.
+    np.testing.assert_allclose(ragged.positions[0][:, 0], lat[0, 0], atol=1e-6)
+    np.testing.assert_allclose(ragged.positions[0][:, 2], lon[0, 0], atol=1e-6)
+    # y = normalized log pressure in [0, 1], decreasing with pressure.
+    y = ragged.positions[0][:, 1]
+    assert (y >= -1e-6).all() and (y <= 1 + 1e-6).all()
+    order = np.argsort(pressure[0, 0])
+    assert (np.diff(y[order]) <= 1e-6).all()
+    # Attributes: pressure + vorticity (standard_name display).
+    assert set(ragged.attribute_names) == {"pressure", "Vorticity"}
+    vi = ragged.attribute_names.index("Vorticity")
+    np.testing.assert_allclose(ragged.attributes[2][vi], extra[0, 2, 2:],
+                               atol=1e-6)
+
+    from linevis_tpu.loaders.flow_file import load_flow_trajectories_from_file
+    traj = load_flow_trajectories_from_file(path)
+    assert traj.num_lines == 3
+
+
+def test_vtk_structured_points_ascii_and_binary(tmp_path):
+    """Write VTK legacy files both ways, load, trace streamlines."""
+    import numpy as np
+
+    from linevis_tpu.loaders.grid_loader import load_grid_file
+
+    nx, ny, nz = 4, 3, 2
+    n = nx * ny * nz
+    rng = np.random.default_rng(0)
+    vel = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    scal = rng.uniform(0, 1, n).astype(np.float32)
+
+    ascii_path = str(tmp_path / "grid_ascii.vtk")
+    with open(ascii_path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\ntest\nASCII\n")
+        f.write("DATASET STRUCTURED_POINTS\n")
+        f.write(f"DIMENSIONS {nx} {ny} {nz}\n")
+        f.write("ORIGIN 0 0 0\nSPACING 1 1 1\n")
+        f.write(f"POINT_DATA {n}\n")
+        f.write("VECTORS velocity float\n")
+        for v in vel:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        f.write("SCALARS vorticity float 1\nLOOKUP_TABLE default\n")
+        for s in scal:
+            f.write(f"{s}\n")
+
+    bin_path = str(tmp_path / "grid_bin.vtk")
+    with open(bin_path, "wb") as f:
+        f.write(b"# vtk DataFile Version 3.0\ntest\nBINARY\n")
+        f.write(b"DATASET STRUCTURED_POINTS\n")
+        f.write(f"DIMENSIONS {nx} {ny} {nz}\n".encode())
+        f.write(b"ORIGIN 0 0 0\nSPACING 1 1 1\n")
+        f.write(f"POINT_DATA {n}\n".encode())
+        f.write(b"VECTORS velocity float\n")
+        f.write(vel.astype(">f4").tobytes())
+        f.write(b"\nSCALARS vorticity float 1\nLOOKUP_TABLE default\n")
+        f.write(scal.astype(">f4").tobytes())
+
+    for path in (ascii_path, bin_path):
+        g = load_grid_file(path)
+        assert g.shape == (nz, ny, nx)
+        np.testing.assert_allclose(
+            g.velocity.reshape(-1, 3), vel, atol=1e-5, err_msg=path
+        )
+        np.testing.assert_allclose(
+            g.scalars["vorticity"].reshape(-1), scal, atol=1e-5
+        )
+
+    # Feed the tracer end-to-end.
+    import jax.numpy as jnp
+    from linevis_tpu.trace.streamline import (
+        StreamlineTracingSettings, trace_streamlines_grid,
+    )
+    g = load_grid_file(ascii_path)
+    traj = trace_streamlines_grid(
+        jnp.asarray(g.velocity),
+        StreamlineTracingSettings(num_seeds=8, max_steps=16, dt=0.01),
+    )
+    assert traj.num_lines == 8
+
+
+def test_dat_raw_grid(tmp_path):
+    import numpy as np
+
+    from linevis_tpu.loaders.grid_loader import load_grid_file
+
+    nx, ny, nz = 5, 4, 3
+    vel = np.random.default_rng(1).uniform(
+        -1, 1, (nz, ny, nx, 3)
+    ).astype(np.float32)
+    (tmp_path / "field.raw").write_bytes(vel.tobytes())
+    dat = tmp_path / "field.dat"
+    dat.write_text(
+        "ObjectFileName: field.raw\n"
+        f"Resolution: {nx} {ny} {nz}\n"
+        "Format: FLOAT3\n"
+        "SliceThickness: 1 1 1\n"
+    )
+    g = load_grid_file(str(dat))
+    assert g.shape == (nz, ny, nx)
+    np.testing.assert_allclose(g.velocity, vel, atol=1e-6)
