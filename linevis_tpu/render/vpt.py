@@ -1,0 +1,310 @@
+"""Volumetric path tracer over dense density grids.
+
+Port of the reference VPT
+(`src/Renderers/Scattering/PathTracer/VolumetricPathTracingPass.hpp:59-65`,
+`Data/Shaders/Scattering/Clouds/{DeltaTracking,RatioTracking}.glsl`):
+free-flight sampling against the majorant with null collisions, estimator
+modes Delta tracking / Spectral delta tracking (Kutz et al. 2017,
+path-history average probabilities) / Ratio tracking, the procedural
+sky gradient + Phong sun light (`VptUtils.glsl:156-191`), frame
+accumulation, and the reference sun defaults
+(`VolumetricPathTracingPass.hpp:159-161`).
+
+TPU-native structure: one `lax.scan` over Woodcock events, vmapped over
+every (pixel, sample) ray of the wavefront — the whole image advances one
+collision per step on the VPU; terminated rays carry a `done` flag.  The
+correctness contract is the reference's own test suite: different unbiased
+estimators must agree in image mean to ~2e-3
+(`test/TestVolumetricPathTracing.cpp:92-95`), see tests/test_vpt.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linevis_tpu.trace.fields import sample_grid_trilinear
+from linevis_tpu.trace.scattering import (
+    _box_intersect,
+    _sample_phase,
+    grid_box,
+)
+
+__all__ = ["VptSettings", "vpt_trace_rays", "render_vpt", "VPT_MODES",
+           "VolumetricPathTracerRenderer"]
+
+VPT_MODES = ("Delta Tracking", "Spectral Delta Tracking", "Ratio Tracking")
+
+
+@dataclasses.dataclass(frozen=True)
+class VptSettings:
+    """Reference defaults (VolumetricPathTracingPass.hpp:155-165)."""
+
+    mode: str = "Delta Tracking"
+    extinction: Tuple[float, float, float] = (1024.0, 1024.0, 1024.0)
+    scattering_albedo: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    phase_g: float = 0.0
+    sun_intensity: float = 2.6
+    sun_color: Tuple[float, float, float] = (1.0, 0.961538462, 0.884615385)
+    sun_direction: Tuple[float, float, float] = (0.5826, 0.7660, 0.2717)
+    max_events: int = 512
+    samples_per_frame: int = 2  # VulkanRayTracer-style accumulation
+
+
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def sample_skybox(w):
+    """Procedural sky gradient (VptUtils.glsl:156-186). w: [..., 3]."""
+    y = w[..., 1]
+    cols = [
+        jnp.asarray([0.1, 0.05, 0.01]),
+        jnp.asarray([0.01, 0.05, 0.2]),
+        jnp.asarray([0.8, 0.9, 1.0]),
+        jnp.asarray([0.1, 0.3, 1.0]),
+        jnp.asarray([0.01, 0.1, 0.7]),
+    ]
+    dists = [-1.0, -0.1, 0.0, 0.4, 1.0]
+    col = jnp.broadcast_to(cols[0], y.shape + (3,))
+    for i in range(1, 5):
+        s = _smoothstep(dists[i - 1], dists[i], y)[..., None]
+        col = col * (1.0 - s) + cols[i] * s
+    return col
+
+
+def sample_light(w, sun_dir, sun_intensity_color):
+    """Phong sun lobe, N=10 (VptUtils.glsl:187-191)."""
+    n = 10.0
+    phong_norm = (n + 1.0) / (2.0 * np.pi)
+    d = jnp.clip(jnp.sum(w * sun_dir, axis=-1), 0.0, None)
+    return sun_intensity_color * (d[..., None] ** n) * phong_norm
+
+
+@partial(jax.jit, static_argnames=("mode", "max_events", "phase_g"))
+def vpt_trace_rays(
+    key: jnp.ndarray,
+    grid: jnp.ndarray,  # [Z, Y, X]
+    origins: jnp.ndarray,  # [N, 3]
+    directions: jnp.ndarray,  # [N, 3]
+    extinction: jnp.ndarray,  # [3]
+    albedo: jnp.ndarray,  # [3]
+    sun_dir: jnp.ndarray,  # [3]
+    sun_ic: jnp.ndarray,  # [3] intensity * color
+    phase_g: float = 0.0,
+    mode: str = "Delta Tracking",
+    max_events: int = 512,
+):
+    """-> radiance [N, 3]."""
+    b_min_np, b_max_np = grid_box(grid.shape)
+    b_min = jnp.asarray(b_min_np)
+    b_max = jnp.asarray(b_max_np)
+    extent = b_max - b_min
+    gridf = grid.astype(jnp.float32)[..., None]
+    spectral = mode == "Spectral Delta Tracking"
+    ratio = mode == "Ratio Tracking"
+
+    majorant = (jnp.max(extinction) if spectral else extinction[0])
+    abs_albedo = 1.0 - albedo
+
+    def trace_one(key, x0, w0):
+        t_min, t_max, hit = _box_intersect(b_min, b_max, x0, w0)
+        x = x0 + w0 * t_min
+        d0 = jnp.where(hit, t_max - t_min, -1.0)
+
+        def step(state, k):
+            x, w, d, weights, alive, absorbed = state
+            k1, k2, k3 = jax.random.split(k, 3)
+            u1 = jax.random.uniform(k1)
+            t = -jnp.log(jnp.maximum(1e-10, 1.0 - u1)) / majorant
+            exited = t > d
+            x_new = x + w * t
+            tpos = (x_new - b_min) / extent
+            density = sample_grid_trilinear(gridf, tpos)[..., 0]
+
+            sigma_a = abs_albedo * extinction * density
+            sigma_s = albedo * extinction * density
+            sigma_n = majorant - extinction * density
+
+            if spectral:
+                # Path-history average-based probabilities
+                # (DeltaTracking.glsl spectral branch, default variant).
+                pa = jnp.mean(sigma_a * weights)
+                ps = jnp.mean(sigma_s * weights)
+                pn = jnp.mean(sigma_n * weights)
+                c = jnp.maximum(pa + ps + pn, 1e-20)
+                pa, ps, pn = pa / c, ps / c, pn / c
+            else:
+                pa = sigma_a[0] / majorant
+                ps = sigma_s[0] / majorant
+                pn = sigma_n[0] / majorant
+
+            xi = jax.random.uniform(k2)
+            absorb_now = xi < pa
+            scatter_now = (~absorb_now) & (xi < 1.0 - pn)
+            if ratio:
+                # Ratio tracking never terminates on absorption; it
+                # attenuates transmittance instead (RatioTracking.glsl).
+                weights_new = weights * (1.0 - pa)
+                absorb_now = jnp.bool_(False)
+                scatter_now = xi < 1.0 - pn
+            elif spectral:
+                weights_new = jnp.where(
+                    scatter_now,
+                    weights * sigma_s / jnp.maximum(majorant * ps, 1e-20),
+                    weights * sigma_n / jnp.maximum(majorant * pn, 1e-20),
+                )
+                weights_new = jnp.minimum(weights_new, 100.0)
+            else:
+                weights_new = weights
+
+            w_scat = _sample_phase(k3, phase_g, w)
+            w_new = jnp.where(scatter_now, w_scat, w)
+            t2min, t2max, hit2 = _box_intersect(b_min, b_max, x_new, w_new)
+            d_new = jnp.where(
+                scatter_now, jnp.where(hit2, t2max - t2min, 0.0), d - t
+            )
+            x_out = jnp.where(scatter_now & hit2, x_new + w_new * t2min, x_new)
+
+            active = alive & ~exited
+            weights_out = jnp.where(active, weights_new, weights)
+            absorbed_out = absorbed | (active & absorb_now)
+            alive_out = active & ~absorb_now
+            x_out = jnp.where(active, x_out, x)
+            w_out = jnp.where(active, w_new, w)
+            d_out = jnp.where(active, d_new, d)
+            return (x_out, w_out, d_out, weights_out, alive_out,
+                    absorbed_out), None
+
+        keys = jax.random.split(key, max_events)
+        init = (
+            x, w0, d0, jnp.ones((3,), jnp.float32), hit, jnp.bool_(False)
+        )
+        (xf, wf, df, weights, alive, absorbed), _ = jax.lax.scan(
+            step, init, keys
+        )
+        weights = jnp.minimum(weights, 1e5)
+        bg = sample_skybox(wf) + sample_light(wf, sun_dir, sun_ic)
+        return jnp.where(absorbed, 0.0, weights * bg)
+
+    keys = jax.random.split(key, origins.shape[0])
+    return jax.vmap(trace_one)(keys, origins, directions)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "settings", "spp"),
+)
+def render_vpt(
+    key: jnp.ndarray,
+    grid: jnp.ndarray,  # [Z, Y, X]
+    ray_origin: jnp.ndarray,  # [3]
+    ray_basis: jnp.ndarray,  # [3, 3] columns right/up/fwd
+    width: int,
+    height: int,
+    settings: VptSettings = VptSettings(),
+    spp: int = 2,
+) -> jnp.ndarray:
+    """-> [H, W, 3] linear radiance (average of spp jittered samples)."""
+    extinction = jnp.asarray(settings.extinction, jnp.float32)
+    albedo = jnp.asarray(settings.scattering_albedo, jnp.float32)
+    sun_dir = jnp.asarray(settings.sun_direction, jnp.float32)
+    sun_dir = sun_dir / jnp.linalg.norm(sun_dir)
+    sun_ic = settings.sun_intensity * jnp.asarray(
+        settings.sun_color, jnp.float32
+    )
+
+    acc = jnp.zeros((height * width, 3), jnp.float32)
+    for s in range(spp):
+        key, kj, kt = jax.random.split(key, 3)
+        jit_xy = jax.random.uniform(kj, (2,))
+        u = (jnp.arange(width, dtype=jnp.float32) + jit_xy[0]) * (
+            2.0 / width
+        ) - 1.0
+        v = 1.0 - (jnp.arange(height, dtype=jnp.float32) + jit_xy[1]) * (
+            2.0 / height
+        )
+        uu, vv = jnp.meshgrid(u, v)
+        d = (
+            ray_basis[:, 0][:, None, None] * uu[None]
+            + ray_basis[:, 1][:, None, None] * vv[None]
+            + ray_basis[:, 2][:, None, None]
+        )
+        d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
+        dirs = d.reshape(3, -1).T
+        origins = jnp.broadcast_to(ray_origin, dirs.shape)
+        acc = acc + vpt_trace_rays(
+            kt, grid, origins, dirs, extinction, albedo, sun_dir, sun_ic,
+            phase_g=settings.phase_g, mode=settings.mode,
+            max_events=settings.max_events,
+        )
+    return (acc / spp).reshape(height, width, 3)
+
+
+class VolumetricPathTracerRenderer:
+    """Registry renderer for RENDERING_MODE_VOLUMETRIC_PATH_TRACER; renders
+    the cloud grid of a LineDataScattering scene with frame accumulation
+    (reference: <=32 accumulated frames, 2 spp/frame)."""
+
+    name = "Volumetric Path Tracer"
+
+    def __init__(self, settings=None):
+        self.line_data = None
+        self.vpt = VptSettings()
+        self.frame = 0
+        self._accum = None
+        if settings is not None:
+            self.set_new_settings(settings)
+
+    def set_line_data(self, line_data) -> None:
+        self.line_data = line_data
+        self._accum = None
+        self.frame = 0
+
+    def set_transfer_function(self, tf) -> None:
+        pass
+
+    def set_new_settings(self, settings) -> None:
+        changed = False
+        if settings.has_key("vpt_mode"):
+            self.vpt = dataclasses.replace(
+                self.vpt, mode=settings.get_value("vpt_mode")
+            )
+            changed = True
+        if settings.has_key("extinction"):
+            e = settings.get_float("extinction")
+            self.vpt = dataclasses.replace(self.vpt, extinction=(e, e, e))
+            changed = True
+        if changed:
+            self._accum = None
+            self.frame = 0
+
+    def render(self, camera) -> np.ndarray:
+        from linevis_tpu.render.tube_raster import _ray_basis
+
+        grid = jnp.asarray(self.line_data.cloud_grid)
+        basis = _ray_basis(jnp.asarray(camera.view_projection_matrix()))
+        img = render_vpt(
+            jax.random.PRNGKey(self.frame),
+            grid,
+            jnp.asarray(np.asarray(camera.position, np.float32)),
+            basis, camera.width, camera.height,
+            settings=self.vpt, spp=self.vpt.samples_per_frame,
+        )
+        img = np.asarray(img)
+        if self._accum is None:
+            self._accum = img
+        else:
+            n = min(self.frame, 31)
+            self._accum = (self._accum * n + img) / (n + 1)
+        self.frame += 1
+        rgba = np.concatenate(
+            [self._accum, np.ones(img.shape[:2] + (1,), np.float32)], axis=-1
+        )
+        return rgba
