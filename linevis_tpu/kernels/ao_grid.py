@@ -32,6 +32,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -64,7 +65,19 @@ class SegmentGrid:
     chunk: int
 
 
-@partial(jax.jit, static_argnames=("resolution", "chunk"))
+def auto_grid_span(a, ba, radius, resolution: int) -> int:
+    """Cells per axis a segment's AABB may span at `resolution` (host-side;
+    use as the static `span` for `build_segment_grid`)."""
+    a = np.asarray(a)
+    b = a + np.asarray(ba)
+    lo = np.minimum(a, b).min(axis=1) - radius
+    hi = np.maximum(a, b).max(axis=1) + radius
+    cell = np.maximum(hi - lo, 1e-6) / resolution
+    ext = (np.abs(np.asarray(ba)) + 2.0 * radius).max(axis=1)
+    return int(np.ceil((ext / cell).max())) + 1
+
+
+@partial(jax.jit, static_argnames=("resolution", "chunk", "span"))
 def build_segment_grid(
     a: jnp.ndarray,  # [3, S]
     ba: jnp.ndarray,  # [3, S]
@@ -72,6 +85,7 @@ def build_segment_grid(
     mask: jnp.ndarray,  # [S]
     resolution: int = 64,
     chunk: int = 128,
+    span: int = 2,
 ) -> SegmentGrid:
     S = a.shape[1]
     G = resolution
@@ -87,10 +101,11 @@ def build_segment_grid(
     hi = (jnp.maximum(a, b) + radius - lo_all[:, None]) * inv_cell[:, None]
     c0 = jnp.clip(jnp.floor(lo).astype(jnp.int32), 0, G - 1)
     c1 = jnp.clip(jnp.floor(hi).astype(jnp.int32), 0, G - 1)
-    # Static 2x2x2 span window (segments are short relative to cells; the
-    # span covers floor(lo)..floor(hi) with hi-lo < 2 cells per axis; larger
-    # segments get clamped coverage — choose resolution accordingly).
-    span = 2
+    # Static span^3 cell window per segment: covers floor(lo)..floor(hi)
+    # when each segment's AABB spans < `span` cells per axis. Longer
+    # segments get silently clamped coverage — size `span` with
+    # `auto_grid_span` (or lower `resolution`) for sparse/long-segment
+    # scenes.
     d = jnp.arange(span, dtype=jnp.int32)
     cx = c0[0][None, None, None, :] + d[None, None, :, None]
     cy = c0[1][None, None, None, :] + d[None, :, None, None]
