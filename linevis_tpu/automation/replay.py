@@ -29,7 +29,57 @@ from linevis_tpu.render.framebuffer import save_png
 from linevis_tpu.render.renderer import create_renderer
 from linevis_tpu.render.transfer_function import TransferFunction
 
-__all__ = ["ReplayWidget", "ReplayState"]
+__all__ = ["ReplayWidget", "ReplayState", "slerp"]
+
+
+def slerp(q0, q1, t: float) -> np.ndarray:
+    """Spherical linear interpolation of quaternions (x, y, z, w) —
+    the reference exposes the same helper to scripts
+    (`ReplayWidget.cpp:475-497` py_slerp) and uses it for camera
+    orientations (`ReplayWidget.cpp:870`)."""
+    q0 = np.asarray(q0, np.float64)
+    q1 = np.asarray(q1, np.float64)
+    q0 = q0 / max(np.linalg.norm(q0), 1e-12)
+    q1 = q1 / max(np.linalg.norm(q1), 1e-12)
+    d = float(np.dot(q0, q1))
+    if d < 0.0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        out = q0 + t * (q1 - q0)
+        return (out / max(np.linalg.norm(out), 1e-12)).astype(np.float32)
+    theta0 = math.acos(min(max(d, -1.0), 1.0))
+    s0 = math.sin((1.0 - t) * theta0) / math.sin(theta0)
+    s1 = math.sin(t * theta0) / math.sin(theta0)
+    return (s0 * q0 + s1 * q1).astype(np.float32)
+
+
+def _quat_rotate(q, v) -> np.ndarray:
+    """Rotate vector v by quaternion q = (x, y, z, w)."""
+    x, y, z, w = (float(c) for c in q)
+    u = np.array([x, y, z], np.float64)
+    v = np.asarray(v, np.float64)
+    return (
+        2.0 * np.dot(u, v) * u
+        + (w * w - np.dot(u, u)) * v
+        + 2.0 * w * np.cross(u, v)
+    ).astype(np.float32)
+
+
+def _parse_numeric(val: str):
+    """Parse a settings value as float or float vector, else None
+    (the reference's REAL/INTEGER/VEC2/3/4 dynamic types,
+    ReplayWidget.hpp:114-160)."""
+    try:
+        return float(val)
+    except (TypeError, ValueError):
+        pass
+    try:
+        parts = [float(t) for t in str(val).replace(",", " ").split()]
+        if 2 <= len(parts) <= 4:
+            return np.asarray(parts, np.float64)
+    except ValueError:
+        pass
+    return None
 
 
 @dataclasses.dataclass
@@ -43,8 +93,11 @@ class ReplayState:
     dataset_settings: Optional[SettingsMap] = None
     camera_position: Optional[np.ndarray] = None
     camera_look_at: Optional[np.ndarray] = None
+    camera_orientation: Optional[np.ndarray] = None  # quat (x, y, z, w)
     camera_fovy: Optional[float] = None
     transfer_function: Optional[str] = None
+    transfer_function_range: Optional[tuple] = None
+    tracer_settings: Optional[SettingsMap] = None
     screenshot: Optional[str] = None
 
 
@@ -94,6 +147,20 @@ class _GApi:
     def set_camera_fovy(self, fovy: float) -> None:
         self._w._current.camera_fovy = float(fovy)
 
+    def set_camera_orientation_quaternion(self, q) -> None:
+        """Camera orientation as (x, y, z, w); interpolated by slerp
+        between keyframes (ReplayWidget.cpp:870)."""
+        self._w._current.camera_orientation = np.asarray(q, np.float32)
+
+    def slerp(self, q0, q1, t: float):
+        return slerp(q0, q1, t)
+
+    def set_transfer_functions_range(self, vmin: float, vmax: float) -> None:
+        self._w._current.transfer_function_range = (float(vmin), float(vmax))
+
+    def set_tracer_settings(self, settings: dict) -> None:
+        self._w._current.tracer_settings = SettingsMap(settings)
+
     def set_camera_checkpoint(self, name: str) -> None:
         cp = self._w.checkpoints.get(name)
         if cp is None:
@@ -132,6 +199,7 @@ class ReplayWidget:
         self.use_camera_flight = False
         self.render_every_frame = True
         self.frame_callback: Optional[Callable] = None
+        self.tracer_callback: Optional[Callable] = None
 
     def _commit_state(self) -> None:
         self.states.append(self._current)
@@ -139,7 +207,9 @@ class ReplayWidget:
                                             dataset=None, renderer=None,
                                             renderer_settings=None,
                                             dataset_settings=None,
-                                            transfer_function=None)
+                                            transfer_function=None,
+                                            transfer_function_range=None,
+                                            tracer_settings=None)
 
     def load_script(self, path_or_code: str) -> None:
         """Execute a replay script that calls the `g` API."""
@@ -159,6 +229,8 @@ class ReplayWidget:
         cam = Camera(width=width, height=height)
         pos = np.asarray(cam.position, np.float32)
         look = np.asarray(cam.look_at_point, np.float32)
+        quat: Optional[np.ndarray] = None
+        prev_settings: Dict[str, str] = {}
         frames = 0
         for state in self.states:
             if state.dataset is not None:
@@ -169,8 +241,6 @@ class ReplayWidget:
                     renderer.set_line_data(line_data)
             if renderer is not None and line_data is not None and renderer.line_data is None:
                 renderer.set_line_data(line_data)
-            if state.renderer_settings is not None and renderer is not None:
-                renderer.set_new_settings(state.renderer_settings)
             if state.dataset_settings is not None and line_data is not None:
                 line_data.set_new_settings(state.dataset_settings)
             if state.transfer_function is not None and renderer is not None:
@@ -178,17 +248,65 @@ class ReplayWidget:
                     renderer.set_transfer_function(
                         TransferFunction.from_xml(state.transfer_function)
                     )
+            if state.transfer_function_range is not None and renderer is not None:
+                renderer.transfer_function_range = state.transfer_function_range
+            if state.tracer_settings is not None and self.tracer_callback:
+                self.tracer_callback(state.tracer_settings)
 
             target_pos = state.camera_position if state.camera_position is not None else pos
             target_look = state.camera_look_at if state.camera_look_at is not None else look
+            target_quat = state.camera_orientation
             n_frames = max(int(round(state.duration * self.fps)), 0)
+
+            # Split settings into static (applied once) and dynamic
+            # (numeric, interpolated per frame from the previous values —
+            # ReplayWidget.hpp:104-160 setStaticSettings /
+            # setInterpolatedDynamicSettings).
+            dynamic: Dict[str, tuple] = {}
+            if state.renderer_settings is not None and renderer is not None:
+                static = SettingsMap()
+                for key, val in state.renderer_settings.items():
+                    new_num = _parse_numeric(val)
+                    old_num = (
+                        _parse_numeric(prev_settings.get(key))
+                        if key in prev_settings else None
+                    )
+                    if (n_frames > 0 and new_num is not None
+                            and old_num is not None
+                            and np.shape(new_num) == np.shape(old_num)):
+                        dynamic[key] = (old_num, new_num)
+                    else:
+                        static.add_key_value(key, val)
+                    prev_settings[key] = str(val)
+                renderer.set_new_settings(static)
+
             if n_frames == 0:
                 pos, look = target_pos, target_look
+                if target_quat is not None:
+                    quat = target_quat
+                if state.renderer_settings is not None and renderer is not None:
+                    renderer.set_new_settings(state.renderer_settings)
             for i in range(n_frames):
-                # Linear interpolation of numeric state (ReplayWidget.hpp:128).
+                # Linear interpolation of numeric state + slerp of the
+                # camera orientation (ReplayWidget.hpp:128, .cpp:870).
                 t = (i + 1) / n_frames
                 p = (1 - t) * pos + t * np.asarray(target_pos, np.float32)
                 la = (1 - t) * look + t * np.asarray(target_look, np.float32)
+                if target_quat is not None:
+                    q = (slerp(quat, target_quat, t)
+                         if quat is not None else target_quat)
+                    dist = float(np.linalg.norm(la - p)) or 1.0
+                    la = p + _quat_rotate(q, (0.0, 0.0, -1.0)) * dist
+                if dynamic and renderer is not None:
+                    interp = SettingsMap()
+                    for key, (v0, v1) in dynamic.items():
+                        v = (1 - t) * v0 + t * v1
+                        interp.add_key_value(
+                            key,
+                            " ".join(str(c) for c in np.atleast_1d(v))
+                            if np.ndim(v) else str(v),
+                        )
+                    renderer.set_new_settings(interp)
                 cam = dataclasses.replace(
                     cam, position=tuple(p), look_at_point=tuple(la)
                 )
@@ -201,6 +319,8 @@ class ReplayWidget:
                 pos, look = np.asarray(target_pos, np.float32), np.asarray(
                     target_look, np.float32
                 )
+                if target_quat is not None:
+                    quat = target_quat
             if state.screenshot and renderer is not None:
                 cam = dataclasses.replace(
                     cam, position=tuple(pos), look_at_point=tuple(look)

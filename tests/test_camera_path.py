@@ -1,0 +1,99 @@
+"""Camera path + replay interpolation tests."""
+
+import numpy as np
+
+from linevis_tpu.automation.camera_path import CameraPath, ControlPoint
+from linevis_tpu.automation.replay import _quat_rotate, slerp
+
+
+def test_slerp_endpoints_and_midpoint():
+    q0 = np.array([0, 0, 0, 1], np.float32)  # identity
+    # 90 deg about y
+    s = np.sin(np.pi / 4)
+    q1 = np.array([0, s, 0, np.cos(np.pi / 4)], np.float32)
+    np.testing.assert_allclose(slerp(q0, q1, 0.0), q0, atol=1e-6)
+    np.testing.assert_allclose(np.abs(slerp(q0, q1, 1.0)), np.abs(q1), atol=1e-6)
+    mid = slerp(q0, q1, 0.5)  # 45 deg about y
+    v = _quat_rotate(mid, (0, 0, -1))
+    ang = np.degrees(np.arctan2(-v[0], -v[2]))
+    assert abs(ang - 45.0) < 0.1, ang
+
+
+def test_binpath_roundtrip(tmp_path):
+    cps = [
+        ControlPoint(0.0, np.array([1, 2, 3], np.float32),
+                     np.array([0, 0, 0, 1], np.float32)),
+        ControlPoint(2.5, np.array([4, 5, 6], np.float32),
+                     np.array([0, 0.7071, 0, 0.7071], np.float32)),
+    ]
+    p = CameraPath(cps)
+    f = str(tmp_path / "cam.binpath")
+    p.save_to_binary_file(f)
+    q = CameraPath.from_binary_file(f)
+    assert len(q.control_points) == 2
+    np.testing.assert_allclose(q.control_points[1].position, [4, 5, 6])
+    np.testing.assert_allclose(q.control_points[1].time, 2.5)
+    pos, quat = q.interpolate(1.25)
+    np.testing.assert_allclose(pos, [2.5, 3.5, 4.5], atol=1e-5)
+
+
+def test_circle_path_looks_at_center():
+    aabb = np.array([[-0.5, -0.2, -0.5], [0.5, 0.2, 0.5]], np.float32)
+    path = CameraPath.from_circle_path(aabb, total_time=8.0)
+    assert path.total_time == 8.0
+    for t in (0.0, 2.0, 5.3):
+        pos, quat = path.interpolate(t)
+        fwd = _quat_rotate(quat, (0, 0, -1))
+        to_center = -pos + np.array([0, pos[1], 0])
+        # forward direction aims at the vertical axis through the center
+        cos = np.dot(fwd, to_center) / (
+            np.linalg.norm(fwd) * max(np.linalg.norm(to_center), 1e-9)
+        )
+        assert cos > 0.95, (t, cos)
+
+
+def test_replay_settings_interpolation_and_quat():
+    """Numeric renderer settings lerp per frame; camera orientation slerps
+    (ReplayWidget.hpp:104-160, .cpp:870)."""
+    from linevis_tpu.automation.replay import ReplayWidget
+
+    seen = []
+
+    class FakeRenderer:
+        name = "fake"
+        line_data = object()
+
+        def __init__(self, *_):
+            self.vals = {}
+
+        def set_line_data(self, ld):
+            pass
+
+        def set_new_settings(self, s):
+            for k, v in s.items():
+                self.vals[k] = v
+
+        def set_transfer_function(self, tf):
+            pass
+
+        def render(self, cam):
+            seen.append((dict(self.vals), np.asarray(cam.position),
+                         np.asarray(cam.look_at_point)))
+            return np.zeros((2, 2, 4), np.float32)
+
+    import linevis_tpu.render.renderer as rmod
+    rmod.register_renderer("FakeTest", FakeRenderer)
+
+    w = ReplayWidget(dataset_loader=lambda name: object(), fps=2.0)
+    w.load_script(
+        "g.set_renderer('FakeTest')\n"
+        "g.set_rendering_algorithm_settings({'opacity_q': 0.0})\n"
+        "g.set_duration(1.0)\n"
+        "g.set_rendering_algorithm_settings({'opacity_q': 1.0})\n"
+        "g.set_camera_orientation_quaternion([0, 0, 0, 1])\n"
+        "g.set_duration(0)\n"
+    )
+    n = w.run(width=2, height=2)
+    assert n == 2  # 1 s at 2 fps
+    qs = [float(v["opacity_q"]) for v, _, _ in seen]
+    np.testing.assert_allclose(qs, [0.5, 1.0], atol=1e-6)
