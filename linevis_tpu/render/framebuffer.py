@@ -76,3 +76,11 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
         )
         vals.append(s.mean())
     return float(np.mean(vals))
+
+
+def image_mean_difference(a: np.ndarray, b: np.ndarray) -> float:
+    """|mean(a) - mean(b)| — the reference's statistical image-equality
+    metric (test/TestVolumetricPathTracing.cpp:92-95, tolerance 2e-3)."""
+    return float(
+        abs(np.asarray(a, np.float64).mean() - np.asarray(b, np.float64).mean())
+    )

@@ -1,0 +1,132 @@
+"""Deterministic scenes for the golden-image SSIM harness.
+
+The reference's de-facto regression protocol is scripted screenshots +
+statistical image comparison (SURVEY §4; ReplayWidget.cpp:620,
+TestVolumetricPathTracing.cpp:92-115).  The reference renderer itself
+cannot be built in this environment (its platform layer `sgl` plus
+Vulkan/shaderc are absent), so golden images are produced by THIS
+framework with the shading math pinned to the reference's
+`Data/Shaders/Utils/Lighting.glsl` constants — see
+docs/SSIM_GAP_ANALYSIS.md for the line-by-line constant audit and the
+known residual deviations.
+
+Every scene here must be bit-deterministic on a given platform (fixed
+numpy seeds, no jax.random in scene construction, interpret-mode kernels
+under the CPU conftest).
+"""
+
+import numpy as np
+
+GOLDEN_SIZE = (160, 120)  # (W, H)
+SMALL_SIZE = (64, 48)
+
+
+def _settings(w, h):
+    from linevis_tpu.render.pipeline import RasterSettings
+
+    return RasterSettings(width=w, height=h, tile_w=16, tile_h=8, chunk=32,
+                          span_x=3, span_y=3, depth_cue_strength=0.2)
+
+
+def _camera(w, h, pos=(0.0, 0.1, 1.2)):
+    from linevis_tpu.render.camera import Camera
+
+    return Camera(position=pos, look_at_point=(0, 0, 0), width=w, height=h)
+
+
+def _walk_scene(radius=0.02, L=10, P=8, seed=11):
+    from linevis_tpu.render.tube_raster import build_capsule_scene
+
+    rng = np.random.default_rng(seed)
+    pos = np.cumsum(rng.normal(0, 0.07, (L, P, 3)), axis=1).astype(np.float32)
+    pos -= pos.mean(axis=(0, 1))
+    mask = np.ones((L, P), bool)
+    attrs = rng.uniform(0, 1, (L, P)).astype(np.float32)
+    return build_capsule_scene(pos, mask, attrs, radius=radius)
+
+
+def scene_opaque_tubes():
+    """Config-1 style: opaque capsule raster with depth cues."""
+    from linevis_tpu.render.tube_raster import render_tubes_image
+
+    w, h = GOLDEN_SIZE
+    return render_tubes_image(
+        _walk_scene(), _camera(w, h), settings=_settings(w, h)
+    )
+
+
+def scene_mlab_transparent():
+    """Config-2 style: MLAB K=8 transparency."""
+    from linevis_tpu.render.oit import render_tubes_mlab_image
+
+    w, h = SMALL_SIZE
+    return render_tubes_mlab_image(
+        _walk_scene(radius=0.03, seed=12), _camera(w, h),
+        settings=_settings(w, h), K=8, opacity=0.4,
+    )
+
+
+def scene_mboit():
+    """Config-4 OIT variant: moment-based OIT, 4 power moments."""
+    import jax.numpy as jnp
+
+    from linevis_tpu.render.oit import render_tubes_mboit
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    w, h = SMALL_SIZE
+    cam = _camera(w, h)
+    img = render_tubes_mboit(
+        _walk_scene(radius=0.03, seed=12),
+        jnp.asarray(cam.view_projection_matrix()),
+        jnp.asarray(np.asarray(cam.position, np.float32)),
+        jnp.asarray(_proj_constants(cam)),
+        _settings(w, h), n_mom=4, opacity=0.4,
+    )
+    return np.moveaxis(np.asarray(img), 0, -1)
+
+
+def scene_stress_bands(tmp_dir="out"):
+    """Config-4 geometry: eigenvalue-ratio elliptic bands (synthetic PSL)."""
+    import os
+
+    from examples.render_stress_bands import synth_v3_blocks
+    from linevis_tpu.loaders.stress_dat import (
+        SimulationMeshHull,
+        write_stress_trajectories_dat_v3,
+    )
+    from linevis_tpu.render.opaque import render_opaque_image
+    from linevis_tpu.scene.line_data_stress import LineDataStress
+
+    w, h = SMALL_SIZE
+    rng = np.random.default_rng(42)
+    blocks = synth_v3_blocks(rng, lines_per_ps=8, n=24)
+    theta = np.linspace(0, 2 * np.pi, 9, dtype=np.float32)[:-1]
+    ring = np.stack([0.5 * np.cos(theta), 0.5 * np.sin(theta),
+                     0 * theta - 1], 1)
+    top = ring.copy()
+    top[:, 2] = 1
+    verts = np.concatenate([ring, top]).astype(np.float32)
+    k = len(theta)
+    tris = []
+    for i in range(k):
+        q = [i, (i + 1) % k, k + (i + 1) % k, k + i]
+        tris += [[q[0], q[1], q[2]], [q[0], q[2], q[3]]]
+    hull = SimulationMeshHull(
+        vertices=verts, triangles=np.array(tris, np.int32)
+    )
+    os.makedirs(tmp_dir, exist_ok=True)
+    path = os.path.join(tmp_dir, "golden_psl_v3.dat")
+    write_stress_trajectories_dat_v3(path, blocks, hull)
+    ld = LineDataStress.load_from_dat([path], version=3)
+    ld.set_band_render_mode("EIGENVALUE_RATIO")
+    mesh = ld.get_band_tube_mesh(band_width=0.012, num_subdivisions=8)
+    cam = _camera(w, h, pos=(0.45, 0.25, 0.6))
+    return render_opaque_image(mesh, cam, settings=_settings(w, h))
+
+
+ALL_SCENES = {
+    "opaque_tubes": scene_opaque_tubes,
+    "mlab_transparent": scene_mlab_transparent,
+    "mboit": scene_mboit,
+    "stress_bands": scene_stress_bands,
+}
