@@ -23,7 +23,8 @@ from linevis_tpu.core.settings import SettingsMap
 from linevis_tpu.render.camera import Camera
 from linevis_tpu.render.renderer import create_renderer
 
-__all__ = ["InternalState", "AutomaticPerformanceMeasurer", "circle_flight"]
+__all__ = ["InternalState", "AutomaticPerformanceMeasurer", "circle_flight",
+           "get_test_modes", "get_test_modes_oit"]
 
 
 @dataclasses.dataclass
@@ -46,6 +47,48 @@ def circle_flight(t: float, radius: float = 1.2, height: float = 0.1,
     return (radius * math.sin(a), height, radius * math.cos(a))
 
 
+def get_test_modes_oit(
+    dataset: str, window_size: Tuple[int, int] = (1920, 1080)
+) -> List[InternalState]:
+    """OIT benchmark sweep — the reference's `getTestModesPaper`-style
+    matrix (InternalState.cpp:60-120): every transparency algorithm with
+    its parameter variants on one dataset."""
+    states = []
+
+    def add(name, mode, **settings):
+        states.append(InternalState(
+            name=name, dataset=dataset, rendering_mode=mode,
+            renderer_settings=SettingsMap(settings) if settings else None,
+            window_size=window_size,
+        ))
+
+    add("Opaque", "Opaque")
+    add("MLAB 8 Layers", "Multi-Layer Alpha Blending")
+    add("PPLL (K=16 exact)", "Per-Pixel Linked Lists")
+    add("MLAB (Buckets)", "MLAB (Buckets)")
+    for n_mom in (4, 6, 8):
+        add(f"MBOIT {n_mom} Power Moments", "Moment-Based OIT",
+            numMoments=n_mom)
+    add("WBOIT", "WBOIT")
+    add("Depth Peeling", "Depth Peeling")
+    add("Depth Complexity", "Depth Complexity")
+    add("Opacity Optimization", "Opacity Optimization")
+    return states
+
+
+def get_test_modes(
+    dataset: str, window_size: Tuple[int, int] = (1920, 1080)
+) -> List[InternalState]:
+    """Full rendering-mode sweep (reference getTestModes role)."""
+    states = get_test_modes_oit(dataset, window_size)
+    for mode in ("Vulkan Ray Tracer", "Voxel Ray Casting"):
+        states.append(InternalState(
+            name=mode, dataset=dataset, rendering_mode=mode,
+            window_size=window_size,
+        ))
+    return states
+
+
 class AutomaticPerformanceMeasurer:
     """Drives the state list and writes the benchmark CSV."""
 
@@ -60,6 +103,12 @@ class AutomaticPerformanceMeasurer:
         "95% Percentile FPS",
         "StdDev FPS",
         "Frames",
+        # Buffer / depth-complexity statistics
+        # (AutomaticPerformanceMeasurer.hpp:59-71).
+        "Dataset Buffer Size (GiB)",
+        "Avg Depth Complexity",
+        "Max Depth Complexity",
+        "Total Fragments",
     ]
 
     def __init__(
@@ -111,6 +160,11 @@ class AutomaticPerformanceMeasurer:
                     )
             ft = np.array(frame_times)
             fps = 1.0 / ft
+            dc_stats = self._depth_complexity_stats(line_data, w, h)
+            ds_bytes = (
+                line_data.trajectories.positions.nbytes
+                + line_data.trajectories.attributes.nbytes
+            )
             rows.append(
                 {
                     "State Name": state.name,
@@ -123,6 +177,8 @@ class AutomaticPerformanceMeasurer:
                     "95% Percentile FPS": round(float(np.percentile(fps, 95)), 3),
                     "StdDev FPS": round(float(fps.std()), 3),
                     "Frames": len(frame_times),
+                    "Dataset Buffer Size (GiB)": round(ds_bytes / 2**30, 6),
+                    **dc_stats,
                 }
             )
         with open(self.csv_path, "w", newline="") as f:
@@ -130,3 +186,37 @@ class AutomaticPerformanceMeasurer:
             writer.writeheader()
             writer.writerows(rows)
         return rows
+
+    def _depth_complexity_stats(self, line_data, w: int, h: int) -> dict:
+        """Per-state depth-complexity statistics fed into the CSV
+        (AutomaticPerformanceMeasurer.hpp:59-60), computed once per state
+        with the depth-complexity store mode at a fixed camera."""
+        try:
+            import jax.numpy as jnp
+
+            from linevis_tpu.render.oit import render_depth_complexity
+            from linevis_tpu.render.pipeline import RasterSettings
+            from linevis_tpu.render.tube_raster import _proj_constants
+
+            cam = Camera(position=circle_flight(0.0), width=w, height=h)
+            counts = np.asarray(render_depth_complexity(
+                line_data.get_capsule_scene(),
+                jnp.asarray(cam.view_projection_matrix()),
+                jnp.asarray(np.asarray(cam.position, np.float32)),
+                jnp.asarray(_proj_constants(cam)),
+                RasterSettings(width=w, height=h),
+            ))
+            used = counts[counts > 0]
+            return {
+                "Avg Depth Complexity": round(
+                    float(used.mean()) if used.size else 0.0, 3
+                ),
+                "Max Depth Complexity": int(counts.max()),
+                "Total Fragments": int(counts.sum()),
+            }
+        except Exception:
+            return {
+                "Avg Depth Complexity": "",
+                "Max Depth Complexity": "",
+                "Total Fragments": "",
+            }

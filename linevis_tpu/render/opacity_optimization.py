@@ -203,6 +203,11 @@ class OpacityOptimizationRenderer:
     `render(view_proj, camera_position)` per frame.
     """
 
+    # Extra opacity-solve frames after a camera move, so the temporal EMA
+    # (temporal_smoothing=0.15) converges to steady state
+    # (OpacityOptimizationRenderer.hpp:125-127: NUM_SMOOTHING_FRAMES=40).
+    NUM_SMOOTHING_FRAMES = 40
+
     def __init__(
         self,
         scene: CapsuleScene,
@@ -217,19 +222,36 @@ class OpacityOptimizationRenderer:
         self.settings = settings
         self.oo = oo
         self.vertex_opacity = jnp.ones((num_lines, pts_per_line), jnp.float32)
+        self._last_vp: Optional[np.ndarray] = None
+        self.smoothing_frames_remaining = self.NUM_SMOOTHING_FRAMES
 
     def render(self, camera: Camera) -> jnp.ndarray:
-        vp = jnp.asarray(camera.view_projection_matrix())
+        vp_np = np.asarray(camera.view_projection_matrix())
+        if self._last_vp is None or not np.array_equal(self._last_vp, vp_np):
+            # onHasMoved: restart the post-move smoothing schedule.
+            self.smoothing_frames_remaining = self.NUM_SMOOTHING_FRAMES
+            self._last_vp = vp_np
+        vp = jnp.asarray(vp_np)
         cp = jnp.asarray(np.asarray(camera.position, np.float32))
         ab = jnp.asarray(_proj_constants(camera))
-        self.vertex_opacity = _opacity_solve(
-            self.scene, vp, cp, ab, self.vertex_opacity,
-            self.settings, self.oo, self.num_lines, self.pts_per_line,
-        )
+        if self.smoothing_frames_remaining > 0:
+            self.vertex_opacity = _opacity_solve(
+                self.scene, vp, cp, ab, self.vertex_opacity,
+                self.settings, self.oo, self.num_lines, self.pts_per_line,
+            )
+            self.smoothing_frames_remaining -= 1
         return _final_render(
             self.scene, vp, cp, ab, self.vertex_opacity,
             self.settings, self.oo.render_k,
         )
+
+    def settle(self, camera: Camera) -> jnp.ndarray:
+        """Run the full post-move smoothing schedule, return the final
+        frame (the reference's converged steady state)."""
+        img = self.render(camera)
+        while self.smoothing_frames_remaining > 0:
+            img = self.render(camera)
+        return img
 
 
 def render_opacity_optimization(

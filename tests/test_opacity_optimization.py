@@ -69,3 +69,39 @@ def test_opacity_solve_formula():
     r.render(cam)
     vo = np.asarray(r.vertex_opacity)
     assert (vo > 0.99).all(), vo.min()
+
+
+def test_post_move_smoothing_schedule():
+    """40 extra solve frames after a camera move; static camera converges
+    and then freezes (OpacityOptimizationRenderer.hpp:125-127)."""
+    import dataclasses
+
+    import numpy as np
+
+    from linevis_tpu.render.opacity_optimization import (
+        OpacityOptimizationRenderer,
+    )
+
+    scene, L, P = _scene_occluder()
+    cam = Camera(position=(0.0, 0.0, 1.6), width=W, height=H)
+    S = RasterSettings(width=W, height=H, tile_w=16, tile_h=8, chunk=8,
+                       span_x=3, span_y=3)
+    oo = OpacityOptimizationSettings(s=2, gather_k=4, render_k=4,
+                                     opacity_resolution_scale=1.0)
+    r = OpacityOptimizationRenderer(scene, L, P, S, oo)
+    assert r.smoothing_frames_remaining == 40
+    r.render(cam)
+    assert r.smoothing_frames_remaining == 39
+    # Static camera: counter decrements, never resets.
+    r.render(cam)
+    assert r.smoothing_frames_remaining == 38
+    op_before = np.asarray(r.vertex_opacity).copy()
+    # Camera move -> full schedule restarts.
+    cam2 = dataclasses.replace(cam, position=(0.1, 0.1, 1.3))
+    r.render(cam2)
+    assert r.smoothing_frames_remaining == 39
+    # Exhausted schedule: opacity stops changing.
+    r.smoothing_frames_remaining = 0
+    op0 = np.asarray(r.vertex_opacity).copy()
+    r.render(cam2)
+    np.testing.assert_array_equal(np.asarray(r.vertex_opacity), op0)
