@@ -170,9 +170,88 @@ class LineData:
 
 
 class LineDataFlow(LineData):
-    """Flow trajectories (reference `LineDataFlow`, LineDataFlow.hpp:35)."""
+    """Flow trajectories (reference `LineDataFlow`, LineDataFlow.hpp:35).
+
+    Optional ribbon rendering (`LineDataFlow.hpp:158-161`): per-point
+    ribbon right-vectors (from .binlines v2 files or `trace_streamribbons`)
+    feed elliptic band geometry.  Helicity bands (`:163-171`): the band
+    right-vector rotates around the tangent proportionally to the helicity
+    attribute times `helicity_rotation_factor`.
+    """
 
     data_set_type = "flow"
+
+    def __init__(self, trajectories: Trajectories, name: str = ""):
+        super().__init__(trajectories, name=name)
+        self.ribbon_directions: Optional[np.ndarray] = None  # [L, P, 3]
+        self.use_ribbons = False
+        self.helicity_rotation_factor = 1.0
+
+    def set_ribbon_directions(self, dirs: np.ndarray) -> None:
+        self.ribbon_directions = np.asarray(dirs, np.float32)
+        self.use_ribbons = True
+        self.mark_dirty()
+
+    def get_ribbon_mesh(
+        self, band_width: float = 0.005, num_subdivisions: int = 8
+    ):
+        """Flow-ribbon band geometry from the ribbon right-vectors."""
+        if self.ribbon_directions is None:
+            raise ValueError("no ribbon directions loaded/traced")
+        key = ("ribbons", band_width, num_subdivisions,
+               self.selected_attribute_index)
+        if key not in self._cache:
+            from linevis_tpu.geometry.bands import build_band_tube_mesh
+
+            self._cache[key] = build_band_tube_mesh(
+                self.trajectories.positions,
+                self.get_filtered_point_mask(),
+                self.selected_attributes(),
+                self.ribbon_directions,
+                band_width=band_width,
+                num_subdivisions=num_subdivisions,
+            )
+        return self._cache[key]
+
+    def get_helicity_band_mesh(
+        self, band_width: float = 0.005, num_subdivisions: int = 8,
+        helicity_attribute: str = "Helicity",
+    ):
+        """Helicity-rotating bands (LineDataFlow.hpp:163-171): the right
+        vector starts at the parallel-transport normal and accumulates a
+        twist angle of helicity * factor per step."""
+        key = ("helicity_bands", band_width, num_subdivisions,
+               self.helicity_rotation_factor)
+        if key not in self._cache:
+            import jax.numpy as jnp
+
+            from linevis_tpu.geometry.bands import build_band_tube_mesh
+            from linevis_tpu.geometry.frames import (
+                compute_tangents,
+                parallel_transport_frames,
+            )
+
+            try:
+                h_idx = self.attribute_names.index(helicity_attribute)
+            except ValueError:
+                h_idx = self.selected_attribute_index
+            hel = jnp.asarray(self.trajectories.attributes[:, h_idx])
+            hmax = jnp.maximum(jnp.max(jnp.abs(hel)), 1e-12)
+            angle = jnp.cumsum(
+                hel / hmax * self.helicity_rotation_factor, axis=1
+            )
+            pos = jnp.asarray(self.trajectories.positions)
+            m = jnp.asarray(self.get_filtered_point_mask())
+            normals, binormals, _ = parallel_transport_frames(pos, m)
+            right = (
+                jnp.cos(angle)[..., None] * normals
+                + jnp.sin(angle)[..., None] * binormals
+            )
+            self._cache[key] = build_band_tube_mesh(
+                pos, m, self.selected_attributes(), right,
+                band_width=band_width, num_subdivisions=num_subdivisions,
+            )
+        return self._cache[key]
 
     @classmethod
     def load_from_file(

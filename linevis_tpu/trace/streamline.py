@@ -34,7 +34,8 @@ INTEGRATOR_RKF45 = "rkf45"
 
 @dataclasses.dataclass(frozen=True)
 class StreamlineTracingSettings:
-    """Subset of reference `StreamlineTracingSettings` we support headlessly."""
+    """Subset of reference `StreamlineTracingSettings` we support headlessly
+    (StreamlineTracingDefines.hpp:148-180)."""
 
     num_seeds: int = 256
     max_steps: int = 512
@@ -44,6 +45,19 @@ class StreamlineTracingSettings:
     seed: int = 42
     forward: bool = True
     backward: bool = False
+    # Adaptive RKF45 (reference StreamlineTracingGrid _integrationStep
+    # RKF45 branch): dt adapts per line within [dt_min, dt_max] against
+    # the embedded 4th/5th-order error estimate.
+    adaptive: bool = False
+    tolerance: float = 1e-5
+    dt_min: float = 1.0 / 2048.0
+    dt_max: float = 1.0 / 32.0
+    # Self-proximity / loop termination
+    # (StreamlineTracingDefines.hpp:89-104): stop when the new point comes
+    # within `termination_distance` of a point recorded at least
+    # `loop_min_gap` steps earlier.
+    termination_distance: float = 0.0  # 0 disables
+    loop_min_gap: int = 10
 
 
 def seed_points_volume(key: jax.Array, n: int) -> jnp.ndarray:
@@ -128,37 +142,143 @@ def _vorticity(field: Callable, p: jnp.ndarray, h: float = 1e-3) -> jnp.ndarray:
     )
 
 
+def _rkf45_embedded(field, p, dt):
+    """Fehlberg 4(5): returns (p5, err) — 5th-order step + error estimate
+    against the embedded 4th-order solution."""
+    k1 = field(p)
+    k2 = field(p + dt * (k1 / 4.0))
+    k3 = field(p + dt * (3.0 / 32.0 * k1 + 9.0 / 32.0 * k2))
+    k4 = field(
+        p + dt * (1932.0 / 2197.0 * k1 - 7200.0 / 2197.0 * k2
+                  + 7296.0 / 2197.0 * k3)
+    )
+    k5 = field(
+        p + dt * (439.0 / 216.0 * k1 - 8.0 * k2 + 3680.0 / 513.0 * k3
+                  - 845.0 / 4104.0 * k4)
+    )
+    k6 = field(
+        p + dt * (-8.0 / 27.0 * k1 + 2.0 * k2 - 3544.0 / 2565.0 * k3
+                  + 1859.0 / 4104.0 * k4 - 11.0 / 40.0 * k5)
+    )
+    p5 = p + dt * (16.0 / 135.0 * k1 + 6656.0 / 12825.0 * k3
+                   + 28561.0 / 56430.0 * k4 - 9.0 / 50.0 * k5
+                   + 2.0 / 55.0 * k6)
+    p4 = p + dt * (25.0 / 216.0 * k1 + 1408.0 / 2565.0 * k3
+                   + 2197.0 / 4104.0 * k4 - k5 / 5.0)
+    err = jnp.linalg.norm(p5 - p4, axis=-1)
+    return p5, err
+
+
 @partial(jax.jit, static_argnames=("field", "settings"))
 def _trace_batch(
     field: Callable, settings: StreamlineTracingSettings, seeds: jnp.ndarray
 ):
-    dt = settings.dt if settings.forward else -settings.dt
+    sign = 1.0 if settings.forward else -1.0
+    dt = sign * settings.dt
+    N = seeds.shape[0]
+    use_prox = settings.termination_distance > 0.0
+    max_steps = settings.max_steps
 
-    def one_step(carry, _):
-        p, alive = carry
-        p_new = _step(field, p, dt, settings.integrator)
+    def one_step(carry, i):
+        p, alive, dts, history = carry
+        if settings.adaptive and settings.integrator == INTEGRATOR_RKF45:
+            p_try, err = _rkf45_embedded(field, p, dts[..., None])
+            accept = (err <= settings.tolerance) | (
+                jnp.abs(dts) <= settings.dt_min * 1.0001
+            )
+            # Standard controller: dt *= 0.9 * (tol/err)^(1/5), clamped.
+            fac = jnp.clip(
+                0.9 * (settings.tolerance
+                       / jnp.maximum(err, 1e-30)) ** 0.2,
+                0.2, 4.0,
+            )
+            dts_new = jnp.clip(
+                jnp.abs(dts * fac), settings.dt_min, settings.dt_max
+            ) * sign
+            p_new = jnp.where(accept[..., None], p_try, p)
+        else:
+            p_new = _step(field, p, dt, settings.integrator)
+            accept = jnp.ones(p.shape[:-1], bool)
+            dts_new = dts
         in_bounds = jnp.all((p_new >= 0.0) & (p_new <= 1.0), axis=-1)
         v = field(p_new)
         speed = jnp.linalg.norm(v, axis=-1)
-        alive_new = alive & in_bounds & (speed > settings.terminate_speed)
-        p_out = jnp.where(alive_new[..., None], p_new, p)
-        return (p_out, alive_new), (p_out, alive_new)
+        ok = alive & in_bounds & (speed > settings.terminate_speed)
+        if use_prox:
+            # Distance to every previously recorded point of the same line
+            # that is at least loop_min_gap steps old.
+            d2 = jnp.sum((history - p_new[None]) ** 2, axis=-1)  # [S, N]
+            steps_ago = i - jnp.arange(max_steps)  # age of each slot
+            old_enough = (steps_ago >= settings.loop_min_gap)[:, None]
+            recorded = (jnp.arange(max_steps) < i)[:, None]
+            near = d2 < settings.termination_distance ** 2
+            looped = jnp.any(near & old_enough & recorded, axis=0)
+            ok = ok & ~looped
+        alive_new = jnp.where(accept, ok, alive)
+        p_out = jnp.where((alive_new & accept)[..., None], p_new, p)
+        if use_prox:
+            history = history.at[i].set(
+                jnp.where((alive_new & accept)[..., None], p_out, 1e6)
+            )
+        rec = alive_new & accept
+        return (p_out, alive_new, dts_new, history), (p_out, rec)
 
     alive0 = jnp.ones(seeds.shape[:-1], bool)
-    (_, _), (positions, alive) = jax.lax.scan(
-        one_step, (seeds, alive0), None, length=settings.max_steps
+    dts0 = jnp.full(seeds.shape[:-1], dt, jnp.float32)
+    history0 = jnp.full((max_steps if use_prox else 1, N, 3), 1e6, jnp.float32)
+    (_, _, _, _), (positions, alive) = jax.lax.scan(
+        one_step, (seeds, alive0, dts0, history0),
+        jnp.arange(max_steps),
     )
     # [steps, N, 3] -> [N, steps+1, 3]; prepend seeds
     positions = jnp.concatenate([seeds[None], positions], axis=0).swapaxes(0, 1)
     mask = jnp.concatenate([alive0[None], alive], axis=0).swapaxes(0, 1)
+    return positions, mask
 
+
+@partial(jax.jit, static_argnames=("field",))
+def _derived_attributes(field: Callable, positions: jnp.ndarray):
+    """[Velocity Magnitude, Vorticity Magnitude, Helicity] — the
+    reference's computed scalar fields."""
     v = field(positions)
     vel_mag = jnp.linalg.norm(v, axis=-1)
     vort = _vorticity(field, positions)
     vort_mag = jnp.linalg.norm(vort, axis=-1)
     helicity = jnp.sum(v * vort, axis=-1)
-    attributes = jnp.stack([vel_mag, vort_mag, helicity], axis=1)  # [N, 3, P]
-    return positions, attributes, mask
+    return jnp.stack([vel_mag, vort_mag, helicity], axis=1)  # [N, 3, P]
+
+
+def _compact_prefix(positions: np.ndarray, mask: np.ndarray):
+    """Repack per-line recorded points into prefix form (adaptive RKF45
+    rejections leave interior False slots holding duplicate points)."""
+    N, P = mask.shape
+    out_pos = positions.copy()
+    out_mask = np.zeros_like(mask)
+    for i in range(N):
+        sel = np.nonzero(mask[i])[0]
+        n = len(sel)
+        out_pos[i, :n] = positions[i, sel]
+        if n:
+            out_pos[i, n:] = positions[i, sel[-1]]
+        out_mask[i, :n] = True
+    return out_pos, out_mask
+
+
+def _finalize(field, settings, positions, mask) -> Trajectories:
+    positions = np.asarray(positions)
+    mask = np.asarray(mask)
+    if settings.adaptive and settings.integrator == INTEGRATOR_RKF45:
+        positions, mask = _compact_prefix(positions, mask)
+    attributes = np.asarray(_derived_attributes(field, jnp.asarray(positions)))
+    return Trajectories(
+        positions=positions,
+        attributes=attributes,
+        mask=mask,
+        num_points=np.asarray(mask.sum(axis=1), np.int32),
+        attribute_names=[
+            "Velocity Magnitude", "Vorticity Magnitude", "Helicity"
+        ],
+    )
 
 
 def trace_streamlines(
@@ -174,15 +294,8 @@ def trace_streamlines(
     if seeds is None:
         key = jax.random.PRNGKey(settings.seed)
         seeds = seed_points_volume(key, settings.num_seeds)
-    positions, attributes, mask = _trace_batch(field, settings, seeds)
-    num_points = np.asarray(jnp.sum(mask, axis=1), np.int32)
-    return Trajectories(
-        positions=np.asarray(positions),
-        attributes=np.asarray(attributes),
-        mask=np.asarray(mask),
-        num_points=num_points,
-        attribute_names=["Velocity Magnitude", "Vorticity Magnitude", "Helicity"],
-    )
+    positions, mask = _trace_batch(field, settings, seeds)
+    return _finalize(field, settings, positions, mask)
 
 
 def trace_streamlines_grid(
@@ -199,12 +312,68 @@ def trace_streamlines_grid(
     if seeds is None:
         key = jax.random.PRNGKey(settings.seed)
         seeds = seed_points_volume(key, settings.num_seeds)
-    positions, attributes, mask = _trace_batch(field, settings, seeds)
-    num_points = np.asarray(jnp.sum(mask, axis=1), np.int32)
-    return Trajectories(
-        positions=np.asarray(positions),
-        attributes=np.asarray(attributes),
-        mask=np.asarray(mask),
-        num_points=num_points,
-        attribute_names=["Velocity Magnitude", "Vorticity Magnitude", "Helicity"],
-    )
+    positions, mask = _trace_batch(field, settings, seeds)
+    return _finalize(field, settings, positions, mask)
+
+
+def trace_streamribbons(
+    field: Callable[[jnp.ndarray], jnp.ndarray],
+    settings: StreamlineTracingSettings = StreamlineTracingSettings(),
+    seeds: Optional[jnp.ndarray] = None,
+):
+    """Streamribbons (reference StreamlineTracingGrid::traceStreamribbons,
+    StreamlineTracingGrid.hpp:75): trace centerlines, then integrate a
+    ribbon right-vector along each line, rotating around the tangent with
+    the local helicity angle per step.
+
+    Returns (Trajectories, ribbon_dirs [N, P, 3]) — feed the right-vectors
+    to `geometry.bands.build_band_tube_mesh` for elliptic ribbon geometry.
+    """
+    traj = trace_streamlines(field, settings, seeds)
+    pos = jnp.asarray(traj.positions)
+    mask = jnp.asarray(traj.mask)
+
+    v = field(pos)
+    vort = _vorticity(field, pos)
+    speed2 = jnp.maximum(jnp.sum(v * v, axis=-1), 1e-12)
+    # Helicity angle per unit step (reference rotates the ribbon by the
+    # normalized helicity along the line).
+    twist = jnp.sum(v * vort, axis=-1) / speed2  # [N, P]
+
+    tangents = v / jnp.sqrt(speed2)[..., None]
+
+    def rotate_about(axis, vec, ang):
+        c = jnp.cos(ang)[..., None]
+        s = jnp.sin(ang)[..., None]
+        return (
+            vec * c
+            + jnp.cross(axis, vec) * s
+            + axis * jnp.sum(axis * vec, axis=-1, keepdims=True) * (1.0 - c)
+        )
+
+    def one_line(t_line, twist_line, m_line):
+        t0 = t_line[0]
+        helper = jnp.where(
+            jnp.abs(t0[2]) < 0.9,
+            jnp.asarray([0.0, 0.0, 1.0]),
+            jnp.asarray([1.0, 0.0, 0.0]),
+        )
+        r0 = jnp.cross(t0, helper)
+        r0 = r0 / jnp.maximum(jnp.linalg.norm(r0), 1e-12)
+
+        def step(r_prev, inp):
+            t_i, tw_i, m_i = inp
+            # Re-orthogonalize against the new tangent, then twist.
+            r = r_prev - t_i * jnp.sum(r_prev * t_i)
+            r = r / jnp.maximum(jnp.linalg.norm(r), 1e-12)
+            r = rotate_about(t_i, r, tw_i * settings.dt)
+            r = jnp.where(m_i, r, r_prev)
+            return r, r
+
+        _, rs = jax.lax.scan(
+            step, r0, (t_line[1:], twist_line[1:], m_line[1:])
+        )
+        return jnp.concatenate([r0[None], rs], axis=0)
+
+    ribbon_dirs = jax.vmap(one_line)(tangents, twist, mask)
+    return traj, np.asarray(ribbon_dirs)
