@@ -72,6 +72,27 @@ def blinn_phong_shade_tube(
     return i_a + i_d + i_s
 
 
+def blinn_phong_shade_surface(
+    base_color: jnp.ndarray,  # [3, ...] linear RGB
+    position: jnp.ndarray,  # [3, ...] world
+    normal: jnp.ndarray,  # [3, ...]
+    camera_position: jnp.ndarray,  # [3]
+) -> jnp.ndarray:
+    """General (non-tube) Blinn-Phong with the reference's surface
+    constants kA=0.1, kD=1.0, kS=0.3, s=50 (Lighting.glsl:66-72),
+    headlight l = v, used for triangle-mesh datasets and hulls."""
+    k_a, k_d, k_s, s = 0.1, 1.0, 0.3, 50.0
+    extra = (1,) * (position.ndim - 1)
+    cam = camera_position.reshape((3,) + extra)
+    n = normalize3(normal)
+    v = normalize3(cam - position)
+    h = v  # headlight: h = normalize(v + l) = v
+    i_a = k_a * base_color
+    i_d = k_d * jnp.clip(jnp.abs(dot3(n, v)), 0.0, 1.0)[None] * base_color
+    i_s = k_s * jnp.clip(jnp.abs(dot3(n, h)), 0.0, 1.0)[None] ** s
+    return i_a + i_d + i_s
+
+
 def apply_depth_cue(
     color: jnp.ndarray,  # [3, ...]
     view_z: jnp.ndarray,  # [...] positive distance along view dir

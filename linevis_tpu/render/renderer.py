@@ -341,6 +341,10 @@ def _register_scattering_modes():
     register_renderer("Voxel Ray Casting", VoxelRayCastingRenderer)
     register_renderer("Volumetric Path Tracer", VolumetricPathTracerRenderer)
 
+    from linevis_tpu.scene.triangle_mesh_data import TriangleMeshRenderer
+
+    register_renderer("Opaque (Triangle Mesh)", TriangleMeshRenderer)
+
 
 _register_scattering_modes()
 

@@ -282,6 +282,34 @@ class LineDataStress(LineData):
         self.trajectories = self._merge()
         self.mark_dirty()
 
+    # Reference hull appearance (LineData.hpp:470-475): sRGB(0.5) gray,
+    # opacity 0.3, shaded.
+    HULL_COLOR_LINEAR = (0.2140, 0.2140, 0.2140)
+    HULL_OPACITY = 0.3
+
+    def get_hull_surface(self):
+        """Simulation-mesh hull as a renderable SurfaceMesh (constant
+        attribute; render with render_surface and a constant TF of the
+        hull color — reference hull pass, LineData.hpp:470-475)."""
+        if self.hull is None:
+            return None
+        key = "hull_surface"
+        if key not in self._cache:
+            from linevis_tpu.loaders.mesh_loader import (
+                SurfaceMesh,
+                compute_vertex_normals,
+            )
+
+            verts = np.asarray(self.hull.vertices, np.float32)
+            tris = np.asarray(self.hull.triangles, np.int32)
+            self._cache[key] = SurfaceMesh(
+                vertices=verts,
+                triangles=tris,
+                normals=compute_vertex_normals(verts, tris),
+                attributes=np.full((verts.shape[0],), 0.5, np.float32),
+            )
+        return self._cache[key]
+
     def get_line_ps_colors(self) -> np.ndarray:
         """[L, 3] per-line base color from the PS direction legend."""
         return np.asarray(
