@@ -257,7 +257,7 @@ class DepthComplexityRenderer(LineRenderer):
         mx = max(counts.max(), 1.0)
         t = counts / mx
         rgba = self.transfer_function.lookup(t)
-        img = np.asarray(rgba)
+        img = np.array(rgba)  # writable copy (lookup may return read-only)
         img[..., 3] = 1.0
         img[counts == 0] = self._raster_settings(camera).background_color
         return img
