@@ -151,3 +151,30 @@ def test_perf_measurer(rng, tmp_path):
     with open(csv_path) as f:
         rd = list(_csv.DictReader(f))
     assert rd[0]["State Name"] == "opaque_small"
+
+
+def test_frame_profiler_and_trace(tmp_path):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from linevis_tpu.automation.profiling import FrameProfiler, trace
+
+    prof = FrameProfiler()
+    x = jnp.ones((128, 128))
+    for _ in range(2):
+        with prof.pass_("matmul", force=None):
+            y = x @ x
+        with prof.pass_("sum", force=y):
+            s = jnp.sum(y)
+        prof.next_frame()
+    assert prof.frame == 2
+    summ = prof.summary()
+    assert set(summ) == {"matmul", "sum"}
+    csv_path = str(tmp_path / "passes.csv")
+    prof.write_csv(csv_path)
+    assert open(csv_path).read().count("matmul") == 2
+
+    with trace(str(tmp_path / "jaxtrace")):
+        float(jnp.sum(x @ x))
+    import os
+    assert any(os.scandir(str(tmp_path / "jaxtrace")))

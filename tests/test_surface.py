@@ -133,3 +133,50 @@ def test_stress_hull_surface_renders(tmp_path):
     assert np.isfinite(img).all()
     fg = img[..., 3] != 1.0  # alpha 0.3 where hull covers (bg alpha 1)
     assert fg.any()
+
+
+def test_hex_mesh_boundary_extraction(tmp_path):
+    """2x1x1 hex block: 10 boundary quads (20 tris), interior face culled."""
+    import numpy as np
+
+    from linevis_tpu.loaders.hex_mesh import load_hull_from_hex_mesh
+
+    # 12 points: two unit cubes sharing a face.
+    pts = []
+    for x in (0, 1, 2):
+        for z in (0, 1):
+            for y in (0, 1):
+                pts.append((x, y, z))
+    pts = np.array(pts, np.float32)
+
+    def pid(x, y, z):
+        return x * 4 + z * 2 + y
+
+    def hex_cell(x0):
+        # VTK order: bottom quad CCW (z=0), then top quad (z=1)
+        return [pid(x0, 0, 0), pid(x0 + 1, 0, 0), pid(x0 + 1, 1, 0),
+                pid(x0, 1, 0), pid(x0, 0, 1), pid(x0 + 1, 0, 1),
+                pid(x0 + 1, 1, 1), pid(x0, 1, 1)]
+
+    cells = [hex_cell(0), hex_cell(1)]
+    path = str(tmp_path / "block.vtk")
+    with open(path, "w") as f:
+        f.write("# vtk DataFile Version 3.0\nhex\nASCII\n")
+        f.write("DATASET UNSTRUCTURED_GRID\n")
+        f.write(f"POINTS {len(pts)} float\n")
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+        f.write(f"CELLS 2 {2 * 9}\n")
+        for c in cells:
+            f.write("8 " + " ".join(map(str, c)) + "\n")
+        f.write("CELL_TYPES 2\n12\n12\n")
+
+    hull = load_hull_from_hex_mesh(path)
+    # 2 hexes * 6 faces = 12; the shared face (2 uses) drops -> 10 quads.
+    assert hull.triangles.shape[0] == 20
+    # Watertight boundary: every edge shared by exactly 2 triangles.
+    t = hull.triangles
+    edges = np.sort(np.concatenate(
+        [t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]]), axis=1)
+    _, counts = np.unique(edges, axis=0, return_counts=True)
+    assert (counts == 2).all()
