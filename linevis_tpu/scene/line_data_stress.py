@@ -287,6 +287,56 @@ class LineDataStress(LineData):
     HULL_COLOR_LINEAR = (0.2140, 0.2140, 0.2140)
     HULL_OPACITY = 0.3
 
+    # Degenerate points render as red sphere billboards with pointWidth =
+    # STANDARD_LINE_WIDTH (OpaqueLineRenderer.cpp:212-213, hpp:97).
+    show_degenerate_points = False
+
+    def set_show_degenerate_points(self, value: bool) -> None:
+        if value != self.show_degenerate_points:
+            self.show_degenerate_points = bool(value)
+            self.mark_dirty()
+
+    def get_capsule_scene(self):
+        """Tube capsules + (optionally) degenerate-point spheres.
+
+        A sphere is a zero-length capsule (the analytic kernel's cap
+        tests render it exactly). Spheres carry attribute 1.0 — the TF's
+        hot end — approximating the reference's fixed red point color."""
+        scene = super().get_capsule_scene()
+        if not self.show_degenerate_points or self.degenerate_points is None \
+                or len(self.degenerate_points) == 0:
+            return scene
+        key = ("capsules+degen", self.line_width,
+               self.selected_attribute_index)
+        if key not in self._cache:
+            import dataclasses as _dc
+
+            import jax.numpy as jnp
+
+            pts = jnp.asarray(self.degenerate_points, jnp.float32).T  # [3,N]
+            n = pts.shape[1]
+            eps = jnp.zeros((3, n), jnp.float32).at[0].set(
+                self.line_width * 1e-3
+            )
+            self._cache[key] = _dc.replace(
+                scene,
+                a=jnp.concatenate([scene.a, pts], axis=1),
+                ba=jnp.concatenate([scene.ba, eps], axis=1),
+                attr0=jnp.concatenate(
+                    [scene.attr0, jnp.full((n,), 1.0, jnp.float32)]
+                ),
+                dattr=jnp.concatenate(
+                    [scene.dattr, jnp.zeros((n,), jnp.float32)]
+                ),
+                mask=jnp.concatenate(
+                    [scene.mask, jnp.ones((n,), bool)]
+                ),
+                cap_a=jnp.concatenate(
+                    [scene.cap_a, jnp.ones((n,), jnp.float32)]
+                ),
+            )
+        return self._cache[key]
+
     def get_hull_surface(self):
         """Simulation-mesh hull as a renderable SurfaceMesh (constant
         attribute; render with render_surface and a constant TF of the

@@ -201,3 +201,47 @@ def test_line_data_stress_v3_end_to_end(tmp_path, rng):
                                 chunk=8),
     )
     assert np.isfinite(img).all()
+
+
+def test_degenerate_point_spheres_render():
+    """Degenerate points render as spheres at the TF hot end
+    (OpaqueLineRenderer degeneratePointsRasterPass role)."""
+    import numpy as np
+
+    from linevis_tpu.core.trajectories import (
+        RaggedTrajectories, pad_trajectories,
+    )
+    from linevis_tpu.render.camera import Camera
+    from linevis_tpu.render.pipeline import RasterSettings
+    from linevis_tpu.render.tube_raster import render_tubes_image
+    from linevis_tpu.scene.line_data_stress import LineDataStress
+
+    line = np.zeros((5, 3), np.float32)
+    line[:, 0] = np.linspace(-0.4, 0.4, 5)
+    traj = pad_trajectories(RaggedTrajectories(
+        positions=[line], attributes=[np.full((1, 5), 0.2, np.float32)],
+        attribute_names=["a"],
+    ))
+    ld = LineDataStress(
+        trajectories_ps=[traj], ps_indices=[0],
+        degenerate_points=np.array([[0.0, 0.25, 0.0]], np.float32),
+    )
+    ld.set_line_width(0.12)
+    cam = Camera(position=(0.0, 0.0, 1.4), width=64, height=48)
+    S = RasterSettings(width=64, height=48, tile_w=16, tile_h=8,
+                       span_x=3, span_y=3)
+
+    base = render_tubes_image(ld.get_capsule_scene(), cam, settings=S)
+    ld.set_show_degenerate_points(True)
+    with_pts = render_tubes_image(ld.get_capsule_scene(), cam, settings=S)
+
+    fg_base = (base[..., :3] < 0.999).any(-1)
+    fg_pts = (with_pts[..., :3] < 0.999).any(-1)
+    # The sphere adds coverage above the line (y=0.25 -> upper image half).
+    added = fg_pts & ~fg_base
+    assert added.sum() > 10, added.sum()
+    ys, xs = np.nonzero(added)
+    assert ys.mean() < 24  # upper half (y image axis points down)
+    # Hot-end color: red channel dominates in the added region.
+    reds = with_pts[added]
+    assert (reds[:, 0] > reds[:, 2]).mean() > 0.8
