@@ -264,17 +264,65 @@ class DepthComplexityRenderer(LineRenderer):
 
 
 class RtaoRenderer(LineRenderer):
-    """Reference RENDERING_MODE_VULKAN_RAY_TRACER with screen-space RTAO."""
+    """Reference RENDERING_MODE_VULKAN_RAY_TRACER: analytic capsule hits
+    (the reference's LSS geometry mode) shaded with screen-space RTAO and
+    per-frame sample accumulation (<=32 frames, 2 spp —
+    VulkanRayTracer.hpp:135-143). Stateful like the reference: the
+    accumulator resets on camera or scene changes."""
 
     name = "Vulkan Ray Tracer"
+    MAX_ACCUM_FRAMES = 32
+
+    def __init__(self, settings=None):
+        super().__init__(settings)
+        self._accum = None
+        self._frame = 0
+        self._last_vp = None
+        self._grid = None
+
+    def set_line_data(self, line_data: LineData) -> None:
+        super().set_line_data(line_data)
+        self._accum = None
+        self._frame = 0
+        self._grid = None
 
     def render(self, camera: Camera) -> np.ndarray:
-        from linevis_tpu.render.rtao import render_tubes_rtao_image
+        import jax.numpy as jnp
+
+        from linevis_tpu.kernels.ao_grid import build_segment_grid
+        from linevis_tpu.render.rtao import (
+            RtaoSettings,
+            render_tubes_rtao,
+        )
+        from linevis_tpu.render.tube_raster import _proj_constants
 
         scene = self.line_data.get_capsule_scene()
-        return render_tubes_rtao_image(
-            scene, camera, settings=self._raster_settings(camera)
-        )
+        vp_np = np.asarray(camera.view_projection_matrix())
+        if self._last_vp is None or not np.array_equal(self._last_vp, vp_np):
+            self._accum = None
+            self._frame = 0
+            self._last_vp = vp_np
+        rtao = RtaoSettings()
+        if self._grid is None:
+            self._grid = build_segment_grid(
+                scene.a, scene.ba, scene.radius, scene.mask,
+                resolution=rtao.grid_resolution,
+            )
+        img = np.asarray(render_tubes_rtao(
+            scene,
+            jnp.asarray(vp_np),
+            jnp.asarray(np.asarray(camera.position, np.float32)),
+            jnp.asarray(_proj_constants(camera)),
+            self._raster_settings(camera),
+            rtao, frame=self._frame, grid=self._grid,
+        ))
+        if self._accum is None:
+            self._accum = img
+        else:
+            n = min(self._frame, self.MAX_ACCUM_FRAMES - 1)
+            self._accum = (self._accum * n + img) / (n + 1)
+        self._frame += 1
+        return np.moveaxis(self._accum, 0, -1)
 
 
 class OpacityOptimizationRendererMode(LineRenderer):

@@ -86,3 +86,38 @@ def test_rtao_darkens_concave(rng):
     iso = lum[:20][cov[:20]]
     assert len(dense) > 0 and len(iso) > 0
     assert iso.mean() > dense.mean()
+
+
+def test_registry_rtao_accumulates_and_resets():
+    """Registry 'Vulkan Ray Tracer' accumulates frames for a static camera
+    and resets on camera moves (VulkanRayTracer.hpp:135-143 semantics)."""
+    import dataclasses
+
+    from linevis_tpu.core.trajectories import Trajectories
+    from linevis_tpu.render.renderer import create_renderer
+    from linevis_tpu.scene.line_data import LineData
+
+    rng = np.random.default_rng(4)
+    L, P = 4, 4
+    pos = np.cumsum(rng.normal(0, 0.08, (L, P, 3)), axis=1).astype(np.float32)
+    pos -= pos.mean(axis=(0, 1))
+    traj = Trajectories(
+        positions=pos,
+        attributes=rng.uniform(0, 1, (L, 1, P)).astype(np.float32),
+        mask=np.ones((L, P), bool),
+        num_points=np.full((L,), P, np.int32),
+        attribute_names=["a"],
+    )
+    ld = LineData(traj)
+    ld.set_line_width(0.06)
+    r = create_renderer("Vulkan Ray Tracer")
+    r.set_line_data(ld)
+    cam = Camera(position=(0.0, 0.1, 1.2), width=32, height=16)
+    a = r.render(cam)
+    assert r._frame == 1
+    b = r.render(cam)
+    assert r._frame == 2
+    assert np.isfinite(b).all()
+    cam2 = dataclasses.replace(cam, position=(0.1, 0.1, 1.2))
+    r.render(cam2)
+    assert r._frame == 1  # reset on move
