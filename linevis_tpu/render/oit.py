@@ -46,10 +46,21 @@ def render_tubes_mlab(
     settings: RasterSettings,
     K: int = 8,
     opacity: float = 0.3,
+    seg_alpha: jnp.ndarray = None,  # [2, S]: per-segment (alpha0, dalpha)
 ) -> jnp.ndarray:
-    """Transparent tube render -> [4, H, W] linear RGBA."""
+    """Transparent tube render -> [4, H, W] linear RGBA.
+
+    `seg_alpha` (e.g. from the stress hierarchy mapping curve,
+    LineDataStress.get_segment_opacity_rows) multiplies the TF opacity
+    per segment through the kernel's alpha rows."""
+    if seg_alpha is not None:
+        # The kernel's alpha rows REPLACE the TF alpha; premultiply the
+        # global opacity so curves scale like the plain path.
+        seg_alpha = seg_alpha * jnp.asarray([[opacity], [opacity]],
+                                            jnp.float32)
     csr, params, basis = prepare_capsule_frame(
-        scene, view_proj, camera_position, proj_ab, settings
+        scene, view_proj, camera_position, proj_ab, settings,
+        seg_alpha=seg_alpha,
     )
     # Depth-cue range (consistent with the opaque path).
     w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]
@@ -65,6 +76,7 @@ def render_tubes_mlab(
         csr, params, settings.width, settings.height,
         settings.tile_w, settings.tile_h, K,
         settings.tf_color, settings.tf_opacity,
+        alpha_from_rows=seg_alpha is not None,
         interpret=interpret,
     )
 

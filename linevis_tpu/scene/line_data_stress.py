@@ -193,6 +193,46 @@ class LineDataStress(LineData):
         self.hierarchy_sliders[ps] = float(value)
         self._remerge()
 
+    # -- hierarchy mapping curve (StressLineHierarchyMappingWidget.hpp:46) --
+    def set_hierarchy_mapping_curve(self, ps: int, points) -> None:
+        """Editable opacity(hierarchy) piecewise-linear curve per PS
+        direction: list of (hierarchy_level, opacity) control points.
+        Applied as per-line opacity in the transparent renderers (the
+        reference maps the curve into the opacity channel)."""
+        if not hasattr(self, "hierarchy_mapping_curves"):
+            self.hierarchy_mapping_curves = {}
+        pts = sorted((float(x), float(y)) for x, y in points)
+        self.hierarchy_mapping_curves[ps] = pts
+        self.mark_dirty()
+
+    def get_line_hierarchy_opacities(self) -> np.ndarray:
+        """[L_merged] per-line opacity from the mapping curves (1.0 where
+        no curve is set), aligned with the merged trajectories."""
+        curves = getattr(self, "hierarchy_mapping_curves", {})
+        out = []
+        for i, t in enumerate(self.trajectories_ps):
+            keep = self._line_keep_mask(i)
+            n = int(keep.sum())
+            if i in curves and self.hierarchy_levels_ps is not None:
+                xs = np.asarray([p[0] for p in curves[i]], np.float32)
+                ys = np.asarray([p[1] for p in curves[i]], np.float32)
+                # Hierarchy channel: geometry level (index 2), matching
+                # the slider filter's channel.
+                h = self.hierarchy_levels_ps[i][keep, 2]
+                out.append(np.interp(h, xs, ys).astype(np.float32))
+            else:
+                out.append(np.ones((n,), np.float32))
+        return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+    def get_segment_opacity_rows(self) -> np.ndarray:
+        """[2, S] (alpha0, dalpha) rows for the OIT kernel's
+        alpha_from_rows mode: constant per line along each segment."""
+        line_op = self.get_line_hierarchy_opacities()
+        L, P = self.trajectories.positions.shape[:2]
+        per_point = np.repeat(line_op[:, None], P, axis=1)
+        a0 = per_point[:, :-1].reshape(-1)
+        return np.stack([a0, np.zeros_like(a0)], axis=0).astype(np.float32)
+
     def set_seed_animation_step(self, step: int) -> None:
         self.seed_animation_step = int(step)
         self._remerge()

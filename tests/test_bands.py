@@ -245,3 +245,60 @@ def test_degenerate_point_spheres_render():
     # Hot-end color: red channel dominates in the added region.
     reds = with_pts[added]
     assert (reds[:, 0] > reds[:, 2]).mean() > 0.8
+
+
+def test_hierarchy_mapping_curve_opacity():
+    """Editable opacity(hierarchy) curve fades low-hierarchy lines in the
+    transparent path (StressLineHierarchyMappingWidget role)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from linevis_tpu.core.trajectories import (
+        RaggedTrajectories, pad_trajectories,
+    )
+    from linevis_tpu.render.camera import Camera
+    from linevis_tpu.render.oit import render_tubes_mlab
+    from linevis_tpu.render.pipeline import RasterSettings
+    from linevis_tpu.render.tube_raster import _proj_constants
+    from linevis_tpu.scene.line_data_stress import LineDataStress
+
+    # Two parallel lines, hierarchy levels 0.1 (should fade) and 0.9.
+    lines = []
+    for y in (-0.15, 0.15):
+        ln = np.zeros((4, 3), np.float32)
+        ln[:, 0] = np.linspace(-0.4, 0.4, 4)
+        ln[:, 1] = y
+        lines.append(ln)
+    traj = pad_trajectories(RaggedTrajectories(
+        positions=lines,
+        attributes=[np.full((1, 4), 0.5, np.float32)] * 2,
+        attribute_names=["a"],
+    ))
+    hier = np.array([[0.1, 0.1, 0.1], [0.9, 0.9, 0.9]], np.float32)
+    ld = LineDataStress(
+        trajectories_ps=[traj], ps_indices=[0],
+        hierarchy_levels_ps=[hier],
+    )
+    ld.set_line_width(0.1)
+    ld.set_hierarchy_mapping_curve(0, [(0.0, 0.0), (1.0, 1.0)])
+
+    ops = ld.get_line_hierarchy_opacities()
+    np.testing.assert_allclose(ops, [0.1, 0.9], atol=1e-6)
+
+    cam = Camera(position=(0.0, 0.0, 1.4), width=32, height=16)
+    S = RasterSettings(width=32, height=16, tile_w=16, tile_h=8,
+                       span_x=3, span_y=3, chunk=8)
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+    img = np.asarray(render_tubes_mlab(
+        ld.get_capsule_scene(), vp, cp, ab, S, K=4, opacity=1.0,
+        seg_alpha=jnp.asarray(ld.get_segment_opacity_rows()),
+    ))
+    # Alpha channel: the high-hierarchy line (y=0.15 -> upper half) is far
+    # more opaque than the faded one.
+    a = img[3]
+    upper = a[: 8].max()   # y=+0.15 projects to the upper image half
+    lower = a[8:].max()
+    assert upper > 0.75, upper
+    assert lower < 0.35, lower
