@@ -73,7 +73,7 @@ def test_estimators_agree(grid_res):
     means = {
         mode: _mean_image(mode, seed=0, grid=grid)
         for mode in ("Delta Tracking", "Spectral Delta Tracking",
-                     "Ratio Tracking")
+                     "Ratio Tracking", "Decomposition Tracking")
     }
     vals = list(means.values())
     for i in range(1, len(vals)):
