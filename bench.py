@@ -1,12 +1,22 @@
-"""Benchmark driver: Tornado tube-render frame rate on one TPU chip.
+"""Benchmark driver: Tornado capsule-tube frame rate on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.json): >= 30 FPS on the Tornado config.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extra}.
+Baseline target (BASELINE.json): >= 30 FPS at 1080p on the Tornado config.
 
-Timing notes: the axon runtime dispatches lazily and dedupes identical
-computations, so each frame uses a distinct camera and is forced with a
-small readback (which includes host-tunnel latency — the number reported
-is conservative end-to-end).
+Measurement protocol (mirrors AutomaticPerformanceMeasurer.cpp:230-279:
+avg / 5th / 95th percentile, not best-frame):
+
+- device_fps (primary): N frames with DISTINCT cameras are dispatched as
+  one chained device computation (each frame's checksum feeds an
+  accumulator, so nothing can be skipped or deduped), forced with a single
+  scalar readback.  Wall time minus the one readback divided by N is pure
+  device + dispatch throughput — the number a display pipeline would see,
+  since an interactive swapchain never round-trips frames through the
+  host.  The axon host tunnel costs ~30 ms per forced readback
+  (documented in .claude/skills/verify), which would otherwise dominate.
+- e2e_*: per-frame latency INCLUDING one forced readback through the
+  tunnel per frame (the fully conservative number).
+- an MLAB (transparent, K=8) 1080p number is reported alongside.
 """
 
 import json
@@ -24,26 +34,31 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    import jax.numpy as jnp
     import numpy as np
+    import jax.numpy as jnp
     from functools import partial
 
     from linevis_tpu.core.trajectories import (
         normalize_attributes,
         normalize_trajectories,
     )
+    from linevis_tpu.render.camera import Camera
+    from linevis_tpu.render.oit import render_tubes_mlab
     from linevis_tpu.render.pipeline import RasterSettings
     from linevis_tpu.render.tube_raster import (
         _proj_constants,
         build_capsule_scene,
         render_tubes,
     )
-    from linevis_tpu.render.camera import Camera
     from linevis_tpu.trace.fields import tornado_velocity
     from linevis_tpu.trace.streamline import (
         StreamlineTracingSettings,
         trace_streamlines,
     )
+
+    W, H = 1920, 1080
+    N_CHAIN = 16
+    N_E2E = 10
 
     traj = trace_streamlines(
         tornado_velocity,
@@ -53,40 +68,85 @@ def main():
     scene = build_capsule_scene(
         traj.positions, traj.mask, traj.attributes[:, 0], radius=0.0015
     )
-    cam = Camera(position=(0.0, 0.1, 1.2), width=800, height=600)
-    settings = RasterSettings(width=800, height=600, tile_w=32, tile_h=16)
+    cam = Camera(position=(0.0, 0.1, 1.2), width=W, height=H)
+    settings = RasterSettings(width=W, height=H, tile_w=32, tile_h=16)
     ab = jnp.asarray(_proj_constants(cam))
-    fn = partial(render_tubes, settings=settings)
 
-    def force(x):
-        return float(jnp.sum(x[0, ::100, ::100]))
+    def cams(n, salt=0.0):
+        vps, cps = [], []
+        for i in range(n):
+            c = cam.orbit(0.002 * (i + 1) + salt, 0.1, 1.2)
+            vps.append(np.asarray(c.view_projection_matrix()))
+            cps.append(np.asarray(c.position, np.float32))
+        return jnp.asarray(np.stack(vps)), jnp.asarray(np.stack(cps))
 
-    img = fn(
-        scene,
-        jnp.asarray(cam.view_projection_matrix()),
-        jnp.asarray(np.asarray(cam.position, np.float32)),
-        ab,
-    )
-    force(img)
+    # ---- chained device-throughput measurement ----------------------------
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chain(vps, cps, n):
+        def body(i, acc):
+            img = render_tubes(scene, vps[i], cps[i], ab, settings)
+            return acc + jnp.sum(img[0, ::97, ::101])
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+    def time_chain(fn, n, reps=4):
+        """Median wall time of `fn(vps, cps, n)`; every call uses distinct
+        cameras so the lazy axon dispatcher cannot dedupe."""
+        float(fn(*cams(n, salt=0.77 + n), n))  # warmup/compile
+        ts = []
+        for rep in range(reps):
+            v, c = cams(n, salt=0.1 * rep + 0.013 * n)
+            t0 = time.time()
+            float(fn(v, c, n))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    t_one = time_chain(run_chain, 1)
+    t_n = time_chain(run_chain, N_CHAIN)
+    # t_n = readback + N * frame; t_one = readback + 1 * frame
+    frame_s = max((t_n - t_one) / (N_CHAIN - 1), 1e-6)
+    device_fps = 1.0 / frame_s
+
+    # ---- per-frame end-to-end latency (incl. tunnel readback) -------------
+    full = partial(render_tubes, settings=settings)
     ts = []
-    for i in range(12):
-        c = cam.orbit(0.002 * (i + 1), 0.1, 1.2)
+    for i in range(N_E2E + 1):
+        c = cam.orbit(0.002 * (i + 1) + 0.5, 0.1, 1.2)
         vp = jnp.asarray(c.view_projection_matrix())
         cp = jnp.asarray(np.asarray(c.position, np.float32))
         t0 = time.time()
-        img = fn(scene, vp, cp, ab)
-        force(img)
-        ts.append(time.time() - t0)
-    fps = 1.0 / min(ts)
+        img = full(scene, vp, cp, ab)
+        float(jnp.sum(img[0, ::97, ::101]))
+        if i > 0:  # first call compiles
+            ts.append(time.time() - t0)
+    ts = np.asarray(ts)
+
+    # ---- MLAB (transparent) chained throughput -----------------------------
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chain_mlab(vps, cps, n):
+        def body(i, acc):
+            img = render_tubes_mlab(
+                scene, vps[i], cps[i], ab, settings, K=8, opacity=0.3
+            )
+            return acc + jnp.sum(img[0, ::97, ::101])
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    n_mlab = 8
+    t_one_m = time_chain(run_chain_mlab, 1)
+    t_n_m = time_chain(run_chain_mlab, n_mlab)
+    mlab_fps = (n_mlab - 1) / max(t_n_m - t_one_m, 1e-6)
 
     print(
         json.dumps(
             {
-                "metric": "tornado_tubes_800x600_fps",
-                "value": round(fps, 2),
+                "metric": "tornado_tubes_1080p_device_fps",
+                "value": round(device_fps, 2),
                 "unit": "frames/s",
-                "vs_baseline": round(fps / 30.0, 3),
+                "vs_baseline": round(device_fps / 30.0, 3),
+                "mlab_1080p_device_fps": round(mlab_fps, 2),
+                "e2e_1080p_avg_fps": round(1.0 / ts.mean(), 2),
+                "e2e_1080p_p5_fps": round(1.0 / np.percentile(ts, 95), 2),
+                "e2e_1080p_p95_fps": round(1.0 / np.percentile(ts, 5), 2),
+                "e2e_note": "e2e includes ~30 ms axon host-tunnel readback per frame",
             }
         )
     )
