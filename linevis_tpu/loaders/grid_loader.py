@@ -191,10 +191,100 @@ def load_dat_raw_grid(filename: str) -> GridData:
     )
 
 
+def load_amira_mesh_grid(filename: str) -> GridData:
+    """AmiraMesh BINARY-LITTLE-ENDIAN 2.1 lattice vector fields
+    (AmiraMeshLoader.cpp:60-160 grammar: `define Lattice x y z`,
+    `BoundingBox ...`, data after the `@1` marker)."""
+    with open(filename, "rb") as f:
+        raw = f.read()
+    head = raw[:4096].decode("latin-1")
+    if "# AmiraMesh BINARY-LITTLE-ENDIAN 2.1" not in head:
+        raise ValueError(f"{filename}: missing AmiraMesh header")
+    m = re.search(r"define\s+Lattice\s+(\d+)\s+(\d+)\s+(\d+)", head)
+    if not m:
+        raise ValueError(f"{filename}: no Lattice definition")
+    nx, ny, nz = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    bb = re.search(
+        r"BoundingBox\s+([-\d.eE+ ]+)", head
+    )
+    origin = np.zeros(3, np.float32)
+    spacing = np.ones(3, np.float32)
+    if bb:
+        vals = [float(t) for t in bb.group(1).split()[:6]]
+        if len(vals) == 6:
+            lo = np.asarray(vals[0::2], np.float32)
+            hi = np.asarray(vals[1::2], np.float32)
+            origin = lo
+            spacing = (hi - lo) / np.maximum(
+                np.asarray([nx, ny, nz], np.float32) - 1, 1
+            )
+    # Binary data follows the "@1" marker on its own line.
+    at = raw.find(b"\n@1\n")
+    if at < 0:
+        at = raw.find(b"@1\n")
+        start = at + 3
+    else:
+        start = at + 4
+    data = np.frombuffer(raw, dtype="<f4", count=nx * ny * nz * 3,
+                         offset=start)
+    velocity = data.reshape(nz, ny, nx, 3).astype(np.float32)
+    return GridData(velocity, {}, origin, spacing)
+
+
+def load_rbc_bin_grid(filename: str) -> GridData:
+    """Rayleigh-Benard convection binary: 1024x32x1024 cells x 4 floats
+    (vx, vy, vz, temperature) (RbcBinFileLoader.cpp:46-80)."""
+    xs, ys, zs = 1024, 32, 1024
+    data = np.fromfile(filename, dtype="<f4")
+    if data.size != xs * ys * zs * 4:
+        raise ValueError(
+            f"{filename}: expected {xs}x{ys}x{zs}x4 floats, got {data.size}"
+        )
+    # File layout is x-fastest with 4 components per cell.
+    field = data.reshape(zs, ys, xs, 4)
+    spacing = np.full(3, 1.0 / 1023.0, np.float32)
+    return GridData(
+        velocity=field[..., :3].astype(np.float32),
+        scalars={"temperature": field[..., 3].astype(np.float32)},
+        origin=np.zeros(3, np.float32),
+        spacing=spacing,
+    )
+
+
+def load_field_file_grid(filename: str) -> GridData:
+    """`.field` binary: uvec3 resolution + dims/mips/type header, then
+    vec3 or vec4 float cells (FieldFileLoader.cpp:39-140)."""
+    raw = np.fromfile(filename, dtype=np.uint8)
+    hdr = np.frombuffer(raw[:24].tobytes(), dtype="<u4")
+    nx, ny, nz = int(hdr[0]), int(hdr[1]), int(hdr[2])
+    n = nx * ny * nz
+    body = raw[24:]
+    floats = np.frombuffer(body.tobytes(), dtype="<f4")
+    if floats.size >= n * 4 and floats.size % (n * 4) == 0:
+        comps = 4
+    elif floats.size >= n * 3:
+        comps = 3
+    else:
+        raise ValueError(f"{filename}: payload too small for {nx}x{ny}x{nz}")
+    grid = floats[: n * comps].reshape(nz, ny, nx, comps)
+    return GridData(
+        velocity=grid[..., :3].astype(np.float32),
+        scalars={},
+        origin=np.zeros(3, np.float32),
+        spacing=np.ones(3, np.float32),
+    )
+
+
 def load_grid_file(filename: str) -> GridData:
     lower = filename.lower()
     if lower.endswith(".vtk"):
         return load_vtk_structured_grid(filename)
     if lower.endswith(".dat"):
         return load_dat_raw_grid(filename)
+    if lower.endswith(".am"):
+        return load_amira_mesh_grid(filename)
+    if lower.endswith(".field"):
+        return load_field_file_grid(filename)
+    if lower.endswith(".bin"):
+        return load_rbc_bin_grid(filename)
     raise ValueError(f"Unknown grid file extension: {filename}")

@@ -274,3 +274,52 @@ def test_dat_raw_grid(tmp_path):
     g = load_grid_file(str(dat))
     assert g.shape == (nz, ny, nx)
     np.testing.assert_allclose(g.velocity, vel, atol=1e-6)
+
+
+def test_amira_mesh_grid(tmp_path):
+    import numpy as np
+
+    from linevis_tpu.loaders.grid_loader import load_grid_file
+
+    nx, ny, nz = 4, 3, 2
+    vel = np.random.default_rng(2).uniform(
+        -1, 1, (nz, ny, nx, 3)
+    ).astype("<f4")
+    path = tmp_path / "flow.am"
+    header = (
+        "# AmiraMesh BINARY-LITTLE-ENDIAN 2.1\n\n"
+        f"define Lattice {nx} {ny} {nz}\n\n"
+        "Parameters {\n"
+        '    BoundingBox 0 3 0 2 0 1,\n'
+        '    CoordType "uniform"\n'
+        "}\n\n"
+        "Lattice { float[3] Data } @1\n\n"
+        "# Data section follows\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode())
+        f.write(b"@1\n")
+        f.write(vel.tobytes())
+    g = load_grid_file(str(path))
+    assert g.shape == (nz, ny, nx)
+    np.testing.assert_allclose(g.velocity, vel, atol=1e-6)
+    np.testing.assert_allclose(g.origin, [0, 0, 0])
+    np.testing.assert_allclose(g.spacing, [1, 1, 1])
+
+
+def test_field_file_grid(tmp_path):
+    import numpy as np
+
+    from linevis_tpu.loaders.grid_loader import load_grid_file
+
+    nx, ny, nz = 5, 2, 3
+    vel = np.random.default_rng(3).uniform(
+        -1, 1, (nz, ny, nx, 3)
+    ).astype("<f4")
+    path = tmp_path / "flow.field"
+    with open(path, "wb") as f:
+        f.write(np.asarray([nx, ny, nz, 3, 1, 0], "<u4").tobytes())
+        f.write(vel.tobytes())
+    g = load_grid_file(str(path))
+    assert g.shape == (nz, ny, nx)
+    np.testing.assert_allclose(g.velocity, vel, atol=1e-6)
