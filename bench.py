@@ -135,6 +135,36 @@ def main():
     t_n_m = time_chain(run_chain_mlab, n_mlab)
     mlab_fps = (n_mlab - 1) / max(t_n_m - t_one_m, 1e-6)
 
+    # ---- RTAO ray throughput (BASELINE.json: report Mrays/s) ---------------
+    from linevis_tpu.kernels.ao_grid import build_segment_grid
+    from linevis_tpu.render.rtao import RtaoSettings, render_tubes_rtao
+
+    rtao = RtaoSettings(num_samples=4)
+    grid = build_segment_grid(
+        scene.a, scene.ba, scene.radius, scene.mask,
+        resolution=rtao.grid_resolution,
+    )
+    Wr, Hr = 960, 540  # half 1080p, 4 spp (reference RTAO defaults)
+    cam_r = Camera(position=(0.0, 0.1, 1.2), width=Wr, height=Hr)
+    ab_r = jnp.asarray(_proj_constants(cam_r))
+    settings_r = RasterSettings(width=Wr, height=Hr, tile_w=32, tile_h=16)
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chain_rtao(vps, cps, n):
+        def body(i, acc):
+            img = render_tubes_rtao(
+                scene, vps[i], cps[i], ab_r, settings_r, rtao,
+                grid=grid,
+            )
+            return acc + jnp.sum(img[0, ::97, ::101])
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    n_rtao = 8
+    t_one_r = time_chain(run_chain_rtao, 1)
+    t_n_r = time_chain(run_chain_rtao, n_rtao)
+    rtao_frame_s = max((t_n_r - t_one_r) / (n_rtao - 1), 1e-6)
+    rtao_mrays = (Wr * Hr * rtao.num_samples) / rtao_frame_s / 1e6
+
     print(
         json.dumps(
             {
@@ -143,6 +173,8 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(device_fps / 30.0, 3),
                 "mlab_1080p_device_fps": round(mlab_fps, 2),
+                "rtao_mrays_per_s": round(rtao_mrays, 2),
+                "rtao_960x540_4spp_device_fps": round(1.0 / rtao_frame_s, 2),
                 "e2e_1080p_avg_fps": round(1.0 / ts.mean(), 2),
                 "e2e_1080p_p5_fps": round(1.0 / np.percentile(ts, 95), 2),
                 "e2e_1080p_p95_fps": round(1.0 / np.percentile(ts, 5), 2),
