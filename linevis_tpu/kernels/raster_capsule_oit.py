@@ -268,36 +268,36 @@ def _mlab_kernel(
                     tcand = jnp.concatenate([t_in, t_out], axis=0)  # [2C, P]
                     # Shade ALL candidates once (headlight Blinn-Phong).
                     baoa2, baba2, bard2 = two(baoa), two(baba), two(bard)
-                    a72 = two(scal(7) + 0.0 * baoa)
-                    a82 = two(scal(8) + 0.0 * baoa)
+                    a72 = two(scal(7))
+                    a82 = two(scal(8))
                     y2 = baoa2 + tcand * bard2
                     uax = jnp.clip(y2 / baba2, 0.0, 1.0)
                     attr = (
-                        two(scal(7) + 0.0 * baoa)
-                        + two(scal(8) + 0.0 * baoa) * uax
+                        two(scal(7))
+                        + two(scal(8)) * uax
                     )
                     inv_r = pl.reciprocal(
-                        jnp.maximum(two(scal(6) + 0.0 * baoa), 1e-12),
+                        jnp.maximum(two(scal(6)), 1e-12),
                         approx=True,
                     )
                     dn0, dn1, dn2 = dn[0:1, :], dn[1:2, :], dn[2:3, :]
-                    nx = (tcand * dn0 + two(oax) - two(scal(3) + 0.0 * baoa) * uax) * inv_r
-                    ny = (tcand * dn1 + two(oay) - two(scal(4) + 0.0 * baoa) * uax) * inv_r
-                    nz = (tcand * dn2 + two(oaz) - two(scal(5) + 0.0 * baoa) * uax) * inv_r
+                    nx = (tcand * dn0 + two(oax) - two(scal(3)) * uax) * inv_r
+                    ny = (tcand * dn1 + two(oay) - two(scal(4)) * uax) * inv_r
+                    nz = (tcand * dn2 + two(oaz) - two(scal(5)) * uax) * inv_r
                     ndl = -(nx * dn0 + ny * dn1 + nz * dn2)
                     tnorm = jax.lax.rsqrt(jnp.maximum(baba2, 1e-20))
                     tdl = -(
-                        two(scal(3) + 0.0 * baoa) * dn0
-                        + two(scal(4) + 0.0 * baoa) * dn1
-                        + two(scal(5) + 0.0 * baoa) * dn2
+                        two(scal(3)) * dn0
+                        + two(scal(4)) * dn1
+                        + two(scal(5)) * dn2
                     ) * tnorm
                     # n.t is nonzero on the sphere caps; full projection of
                     # the light onto the plane orthogonal to the tangent:
                     # cos2 = |n.l - (l.t)(n.t)| / sqrt(1 - (l.t)^2).
                     ndt = (
-                        nx * two(scal(3) + 0.0 * baoa)
-                        + ny * two(scal(4) + 0.0 * baoa)
-                        + nz * two(scal(5) + 0.0 * baoa)
+                        nx * two(scal(3))
+                        + ny * two(scal(4))
+                        + nz * two(scal(5))
                     ) * tnorm
                     denom = jax.lax.rsqrt(jnp.maximum(1.0 - tdl * tdl, 1e-6))
                     cos1 = jnp.clip(jnp.abs(ndl), 0.0, 1.0)
@@ -320,7 +320,7 @@ def _mlab_kernel(
                         # g_i and segment id instead of shaded color
                         # (reference GeometryPassOpacities.glsl).
                         rc = attr
-                        gc = two(scal(9) + 0.0 * baoa)  # segment id
+                        gc = two(scal(9)) * jnp.ones_like(attr)  # segment id
                         bc = jnp.zeros_like(attr)
                         ac = jnp.ones_like(attr)
                     else:
@@ -334,8 +334,8 @@ def _mlab_kernel(
                         fcue = fcue * fcue * cue
                         if alpha_from_rows:
                             ac = jnp.clip(
-                                two(scal(11) + 0.0 * baoa)
-                                + two(scal(12) + 0.0 * baoa) * uax,
+                                two(scal(11))
+                                + two(scal(12)) * uax,
                                 0.0, 1.0,
                             )
                         else:

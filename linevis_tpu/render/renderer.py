@@ -58,6 +58,11 @@ class LineRenderer:
         if settings.has_key("opacity"):
             self.opacity = settings.get_float("opacity")
 
+    # Tile shape: opaque z-test kernels are fastest at 32x16; the OIT
+    # K-extraction kernels win at 16x8 (fewer wasted lanes per thin tube;
+    # measured on TPU v5e, see bench.py / STATUS.md).
+    TILE_W, TILE_H = 32, 16
+
     def _raster_settings(self, camera: Camera) -> RasterSettings:
         c_pts, o_pts = self.transfer_function.as_static_points()
         if self.transfer_function_range is not None:
@@ -82,8 +87,8 @@ class LineRenderer:
         return RasterSettings(
             width=camera.width,
             height=camera.height,
-            tile_w=32,
-            tile_h=16,
+            tile_w=self.TILE_W,
+            tile_h=self.TILE_H,
             depth_cue_strength=self.depth_cue_strength,
             tf_color=c_pts,
             tf_opacity=o_pts,
@@ -110,6 +115,7 @@ class OpaqueLineRenderer(LineRenderer):
 
 class _MlabBase(LineRenderer):
     K = 8
+    TILE_W, TILE_H = 16, 8  # OIT kernels win at small tiles (see base)
 
     def render(self, camera: Camera) -> np.ndarray:
         from linevis_tpu.render.oit import render_tubes_mlab_image
@@ -141,6 +147,7 @@ class WBOITRenderer(LineRenderer):
     """Reference RENDERING_MODE_WBOIT (WBOITRenderer.cpp:195)."""
 
     name = "Weighted Blended Order Independent Transparency"
+    TILE_W, TILE_H = 16, 8
 
     def render(self, camera: Camera) -> np.ndarray:
         import jax.numpy as jnp
@@ -161,6 +168,8 @@ class WBOITRenderer(LineRenderer):
 
 class _OitImageBase(LineRenderer):
     """Shared plumbing for OIT renderers taking (vp, cp, proj_ab)."""
+
+    TILE_W, TILE_H = 16, 8
 
     def _render_with(self, camera: Camera, fn, **kw) -> np.ndarray:
         import jax.numpy as jnp
@@ -209,6 +218,7 @@ class MBOITRenderer(LineRenderer):
 
     name = "Moment-Based OIT"
     n_mom = 4
+    TILE_W, TILE_H = 16, 8
 
     def set_new_settings(self, settings: SettingsMap) -> None:
         super().set_new_settings(settings)
