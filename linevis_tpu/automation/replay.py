@@ -161,6 +161,19 @@ class _GApi:
     def set_tracer_settings(self, settings: dict) -> None:
         self._w._current.tracer_settings = SettingsMap(settings)
 
+    # -- aliases used by the reference's Data/ReplayScripts/*.py ------------
+    def set_camera_fovy_deg(self, fovy_deg: float) -> None:
+        self._w._current.camera_fovy = math.radians(float(fovy_deg))
+
+    def set_camera_yaw_pitch_rad(self, yaw: float, pitch: float) -> None:
+        self.set_camera_yaw_pitch(yaw, pitch)
+
+    def set_camera_look_at_location(self, x, y=None, z=None) -> None:
+        self.set_camera_look_at(x, y, z)
+
+    def set_transfer_function_range(self, vmin: float, vmax: float) -> None:
+        self.set_transfer_functions_range(vmin, vmax)
+
     def set_camera_checkpoint(self, name: str) -> None:
         cp = self._w.checkpoints.get(name)
         if cp is None:
@@ -212,13 +225,26 @@ class ReplayWidget:
                                             tracer_settings=None)
 
     def load_script(self, path_or_code: str) -> None:
-        """Execute a replay script that calls the `g` API."""
+        """Execute a replay script that calls the `g` API.
+
+        Reference scripts (`Data/ReplayScripts/*.py`) also `import g` and
+        `from modules.campath import ...`; compat module shims are
+        installed for the duration of the exec (replay_compat.py)."""
+        from linevis_tpu.automation.replay_compat import (
+            install_compat_modules,
+            remove_compat_modules,
+        )
+
         code = path_or_code
         if os.path.exists(path_or_code):
             with open(path_or_code) as f:
                 code = f.read()
         g = _GApi(self)
-        exec(compile(code, "<replay>", "exec"), {"g": g})
+        saved = install_compat_modules(g)
+        try:
+            exec(compile(code, "<replay>", "exec"), {"g": g})
+        finally:
+            remove_compat_modules(saved)
         self._commit_state()
 
     def run(self, width: int = 800, height: int = 600) -> int:

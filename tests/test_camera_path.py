@@ -97,3 +97,44 @@ def test_replay_settings_interpolation_and_quat():
     assert n == 2  # 1 s at 2 fps
     qs = [float(v["opacity_q"]) for v, _, _ in seen]
     np.testing.assert_allclose(qs, [0.5, 1.0], atol=1e-6)
+
+
+def test_reference_script_compat():
+    """A reference-style script (`import g`, modules.campath) loads
+    unmodified and produces keyframes."""
+    from linevis_tpu.automation.replay import ReplayWidget
+
+    script = """
+import math
+from modules.campath import camera_path_circle
+import g
+
+g.set_duration(0)
+g.set_renderer('Opaque')
+g.set_camera_fovy_deg(math.degrees(0.7))
+g.set_camera_yaw_pitch_rad(0.5, 0.1)
+g.set_camera_look_at_location((0.0, 0.0, 0.0))
+g.set_transfer_function_range(0.1, 0.9)
+g.set_duration(0.5)
+camera_path_circle(0.0, math.pi, 1.0, 1.0, 2.0, subdivisions=8)
+"""
+    w = ReplayWidget(dataset_loader=lambda name: object(), fps=4.0)
+    w.load_script(script)
+    # 2 explicit keyframes + 9 circle keyframes (+ trailing commit).
+    assert len(w.states) >= 11
+    total = sum(s.duration for s in w.states)
+    assert abs(total - 2.5) < 1e-3, total
+    # Circle keyframes look at the center with radius-1 positions.
+    pos_states = [s for s in w.states if s.camera_position is not None]
+    p = pos_states[-1].camera_position
+    assert abs(np.linalg.norm(p) - 1.0) < 1e-4
+    # TF range recorded.
+    assert any(s.transfer_function_range == (0.1, 0.9) for s in w.states)
+    # Fovy alias: radians
+    assert any(
+        s.camera_fovy is not None and abs(s.camera_fovy - 0.7) < 1e-6
+        for s in w.states
+    )
+    # sys.modules restored
+    import sys
+    assert "modules.campath" not in sys.modules
