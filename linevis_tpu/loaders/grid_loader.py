@@ -275,10 +275,108 @@ def load_field_file_grid(filename: str) -> GridData:
     )
 
 
+def load_vtk_xml_grid(filename: str) -> GridData:
+    """VTK XML ImageData (.vti) / StructuredGrid (.vts) vector fields
+    (VtkXmlLoader.cpp role): DataArray formats ascii, inline base64
+    (UInt32/UInt64 headers, uncompressed), and appended raw/base64."""
+    import base64
+    import xml.etree.ElementTree as ET
+
+    with open(filename, "rb") as f:
+        raw = f.read()
+    # Appended data can contain raw bytes that break XML parsing; split it
+    # off before parsing if present.
+    appended = None
+    m = raw.find(b"<AppendedData")
+    if m >= 0:
+        start = raw.find(b"_", m) + 1
+        end = raw.rfind(b"</AppendedData>")
+        appended = raw[start:end].strip()
+        raw = raw[:m] + b"</VTKFile>"
+    root = ET.fromstring(raw.decode("latin-1"))
+
+    header_dtype = {
+        "UInt32": np.dtype("<u4"), "UInt64": np.dtype("<u8"),
+    }[root.get("header_type", "UInt32")]
+
+    grid_el = None
+    for tag in ("ImageData", "StructuredGrid"):
+        grid_el = root.find(tag)
+        if grid_el is not None:
+            break
+    if grid_el is None:
+        raise ValueError(f"{filename}: no ImageData/StructuredGrid element")
+
+    ext = [int(t) for t in grid_el.get("WholeExtent").split()]
+    nx = ext[1] - ext[0] + 1
+    ny = ext[3] - ext[2] + 1
+    nz = ext[5] - ext[4] + 1
+    origin = np.asarray(
+        [float(t) for t in (grid_el.get("Origin") or "0 0 0").split()],
+        np.float32,
+    )
+    spacing = np.asarray(
+        [float(t) for t in (grid_el.get("Spacing") or "1 1 1").split()],
+        np.float32,
+    )
+
+    def decode(da) -> np.ndarray:
+        dtype = {"Float32": "<f4", "Float64": "<f8"}[da.get("type")]
+        fmt = da.get("format", "ascii")
+        if fmt == "ascii":
+            return np.asarray(
+                [float(t) for t in da.text.split()], np.dtype(dtype)
+            )
+        if fmt == "binary":
+            blob = base64.b64decode("".join(da.text.split()))
+            n = int(np.frombuffer(blob[: header_dtype.itemsize],
+                                  header_dtype)[0])
+            return np.frombuffer(
+                blob[header_dtype.itemsize : header_dtype.itemsize + n],
+                np.dtype(dtype),
+            )
+        if fmt == "appended":
+            off = int(da.get("offset", "0"))
+            blob = appended
+            if blob[:1] not in (b"\x00",) and blob[:4] not in (b"AQAA",):
+                # raw appended: length header + payload at offset
+                n = int(np.frombuffer(
+                    blob[off : off + header_dtype.itemsize], header_dtype
+                )[0])
+                start = off + header_dtype.itemsize
+                return np.frombuffer(blob[start : start + n], np.dtype(dtype))
+            decoded = base64.b64decode(blob)
+            n = int(np.frombuffer(
+                decoded[off : off + header_dtype.itemsize], header_dtype
+            )[0])
+            start = off + header_dtype.itemsize
+            return np.frombuffer(decoded[start : start + n], np.dtype(dtype))
+        raise ValueError(f"unsupported DataArray format {fmt!r}")
+
+    velocity = None
+    scalars: Dict[str, np.ndarray] = {}
+    pd = grid_el.find("Piece/PointData")
+    if pd is None:
+        raise ValueError(f"{filename}: no PointData")
+    for da in pd.findall("DataArray"):
+        comps = int(da.get("NumberOfComponents", "1"))
+        vals = decode(da).astype(np.float32)
+        name = da.get("Name", "field")
+        if comps == 3 and velocity is None:
+            velocity = vals.reshape(nz, ny, nx, 3)
+        elif comps == 1:
+            scalars[name] = vals.reshape(nz, ny, nx)
+    if velocity is None:
+        velocity = np.zeros((nz, ny, nx, 3), np.float32)
+    return GridData(velocity, scalars, origin, spacing)
+
+
 def load_grid_file(filename: str) -> GridData:
     lower = filename.lower()
     if lower.endswith(".vtk"):
         return load_vtk_structured_grid(filename)
+    if lower.endswith((".vti", ".vts")):
+        return load_vtk_xml_grid(filename)
     if lower.endswith(".dat"):
         return load_dat_raw_grid(filename)
     if lower.endswith(".am"):

@@ -323,3 +323,52 @@ def test_field_file_grid(tmp_path):
     g = load_grid_file(str(path))
     assert g.shape == (nz, ny, nx)
     np.testing.assert_allclose(g.velocity, vel, atol=1e-6)
+
+
+def test_vtk_xml_grid_ascii_and_base64(tmp_path):
+    import base64
+
+    import numpy as np
+
+    from linevis_tpu.loaders.grid_loader import load_grid_file
+
+    nx, ny, nz = 3, 2, 2
+    n = nx * ny * nz
+    rng = np.random.default_rng(7)
+    vel = rng.uniform(-1, 1, (n, 3)).astype("<f4")
+    scal = rng.uniform(0, 1, n).astype("<f4")
+
+    ascii_vals = "\n".join(" ".join(map(str, v)) for v in vel)
+    blob = np.asarray([vel.nbytes], "<u4").tobytes() + vel.tobytes()
+    b64 = base64.b64encode(blob).decode()
+
+    for fmt, vec_xml in (
+        ("ascii", f'<DataArray type="Float32" Name="velocity" '
+                  f'NumberOfComponents="3" format="ascii">{ascii_vals}'
+                  f'</DataArray>'),
+        ("binary", f'<DataArray type="Float32" Name="velocity" '
+                   f'NumberOfComponents="3" format="binary">{b64}'
+                   f'</DataArray>'),
+    ):
+        path = tmp_path / f"grid_{fmt}.vti"
+        path.write_text(
+            '<?xml version="1.0"?>\n'
+            '<VTKFile type="ImageData" version="1.0" '
+            'byte_order="LittleEndian" header_type="UInt32">\n'
+            f'<ImageData WholeExtent="0 {nx-1} 0 {ny-1} 0 {nz-1}" '
+            'Origin="0 0 0" Spacing="0.5 0.5 0.5">\n'
+            f'<Piece Extent="0 {nx-1} 0 {ny-1} 0 {nz-1}">\n'
+            "<PointData>\n"
+            f"{vec_xml}\n"
+            '<DataArray type="Float32" Name="mag" format="ascii">'
+            + " ".join(map(str, scal)) + "</DataArray>\n"
+            "</PointData>\n</Piece>\n</ImageData>\n</VTKFile>\n"
+        )
+        g = load_grid_file(str(path))
+        assert g.shape == (nz, ny, nx), fmt
+        np.testing.assert_allclose(
+            g.velocity.reshape(-1, 3), vel, atol=1e-5, err_msg=fmt
+        )
+        np.testing.assert_allclose(g.scalars["mag"].reshape(-1), scal,
+                                   atol=1e-5)
+        np.testing.assert_allclose(g.spacing, [0.5, 0.5, 0.5])
