@@ -492,3 +492,13 @@ def write_stress_trajectories_dat_v3(
 
 
 _PS_NAME_BY_INDEX = {0: "major", 1: "medium", 2: "minor"}
+
+
+def load_degenerate_points_dat(filename: str) -> np.ndarray:
+    """Degenerate points `.dat`: a count line, then one `x y z` line per
+    point (DegeneratePointsDatLoader.cpp loadDegeneratePointsFromDat)."""
+    with open(filename) as f:
+        tokens = f.read().split()
+    n = int(tokens[0])
+    vals = np.asarray([float(t) for t in tokens[1 : 1 + 3 * n]], np.float32)
+    return vals.reshape(n, 3)

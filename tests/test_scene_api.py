@@ -178,3 +178,55 @@ def test_frame_profiler_and_trace(tmp_path):
         float(jnp.sum(x @ x))
     import os
     assert any(os.scandir(str(tmp_path / "jaxtrace")))
+
+
+def test_load_line_data_factory(tmp_path):
+    """MainApp::loadLineDataSet dispatch: flow .obj, stress .dat with
+    degenerate points, triangle-mesh surface."""
+    import numpy as np
+
+    from linevis_tpu.loaders.dataset_list import (
+        DATA_SET_TYPE_STRESS_LINES,
+        DataSetInformation,
+    )
+    from linevis_tpu.scene.factory import load_line_data
+    from linevis_tpu.scene.line_data import LineDataFlow
+    from linevis_tpu.scene.line_data_stress import LineDataStress
+    from linevis_tpu.scene.triangle_mesh_data import TriangleMeshData
+
+    # Flow .obj (line format)
+    obj = tmp_path / "lines.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 2 0 0\n"
+        "vt 0.1\nvt 0.5\nvt 0.9\n"
+        "l 1 2 3\n"
+    )
+    ld = load_line_data(str(obj))
+    assert isinstance(ld, LineDataFlow)
+    assert ld.num_lines == 1
+
+    # Stress v3 with degenerate points
+    from examples.render_stress_bands import synth_v3_blocks
+    from linevis_tpu.loaders.stress_dat import write_stress_trajectories_dat_v3
+
+    blocks = synth_v3_blocks(np.random.default_rng(0), lines_per_ps=2, n=6)
+    dat = tmp_path / "psl.dat"
+    write_stress_trajectories_dat_v3(str(dat), blocks, None)
+    dp = tmp_path / "degen.dat"
+    dp.write_text("2\n0.1 0.2 0.3\n0.4 0.5 0.6\n")
+    info = DataSetInformation(
+        type=DATA_SET_TYPE_STRESS_LINES, filenames=[dat.name], version=3,
+        degenerate_points_filename=dp.name, line_width=0.01,
+        name="synthetic",
+    )
+    lds = load_line_data(info, base_dir=str(tmp_path))
+    assert isinstance(lds, LineDataStress)
+    assert lds.degenerate_points.shape == (2, 3)
+    assert lds.line_width == 0.01
+
+    # Surface .obj (face format)
+    surf = tmp_path / "tri.obj"
+    surf.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    tm = load_line_data(str(surf))
+    assert isinstance(tm, TriangleMeshData)
+    assert tm.num_triangles == 1
