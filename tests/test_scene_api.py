@@ -230,3 +230,29 @@ def test_load_line_data_factory(tmp_path):
     tm = load_line_data(str(surf))
     assert isinstance(tm, TriangleMeshData)
     assert tm.num_triangles == 1
+
+
+def test_perf_measurer_new_columns_and_sweep(rng, tmp_path):
+    """DC/buffer columns present; get_test_modes_oit builds the sweep."""
+    from linevis_tpu.automation.perf import (
+        AutomaticPerformanceMeasurer,
+        get_test_modes,
+        get_test_modes_oit,
+    )
+
+    sweep = get_test_modes_oit("d", window_size=(64, 32))
+    names = [s.name for s in sweep]
+    assert "MBOIT 6 Power Moments" in names
+    assert "Depth Peeling" in names
+    assert len(get_test_modes("d")) == len(sweep) + 2
+
+    ld = LineData(_traj(rng))
+    csv_path = str(tmp_path / "perf2.csv")
+    m = AutomaticPerformanceMeasurer(
+        sweep[:2], lambda name: ld, csv_path=csv_path, flight_seconds=0.4,
+        fps_target=5.0,
+    )
+    rows = m.run()
+    assert len(rows) == 2
+    assert rows[0]["Max Depth Complexity"] >= 0
+    assert rows[0]["Dataset Buffer Size (GiB)"] > 0
