@@ -187,6 +187,14 @@ class AutomaticPerformanceMeasurer:
             writer.writerows(rows)
         return rows
 
+    def write_per_frame_csv(self, path: str) -> None:
+        """Per-frame timing CSV (the reference's second CSV,
+        AutomaticPerformanceMeasurer.hpp:100-117)."""
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=["state", "frame", "time_ms"])
+            w.writeheader()
+            w.writerows(self.per_frame_rows)
+
     def _depth_complexity_stats(self, line_data, w: int, h: int) -> dict:
         """Per-state depth-complexity statistics fed into the CSV
         (AutomaticPerformanceMeasurer.hpp:59-60), computed once per state

@@ -256,3 +256,6 @@ def test_perf_measurer_new_columns_and_sweep(rng, tmp_path):
     assert len(rows) == 2
     assert rows[0]["Max Depth Complexity"] >= 0
     assert rows[0]["Dataset Buffer Size (GiB)"] > 0
+    pf = str(tmp_path / "per_frame.csv")
+    m.write_per_frame_csv(pf)
+    assert open(pf).read().count("Opaque") >= 1
