@@ -303,9 +303,25 @@ def _mlab_kernel(
                     cos1 = jnp.clip(jnp.abs(ndl), 0.0, 1.0)
                     cos2_ = jnp.clip(jnp.abs(ndl - tdl * ndt) * denom, 0.0, 1.0)
                     e = 1.0 if use_bands else 1.7
-                    cosc = 0.3 * cos1**e + 0.7 * cos2_**e
-                    spec = 0.3 * cos1**30.0
+                    # Mosaic lowers x**e as exp(e*log(x)) and log(0) is
+                    # NaN there (not -inf like XLA:CPU) — silhouette
+                    # fragments hit cos == 0 exactly, so clamp the base
+                    # (1e-20**1.7 flushes to zero in f32, as intended).
+                    cos1s = jnp.maximum(cos1, 1e-20)
+                    cos2s = jnp.maximum(cos2_, 1e-20)
+                    cosc = 0.3 * cos1s**e + 0.7 * cos2s**e
+                    spec = 0.3 * cos1s**30.0
                     tw = jnp.where(tcand < _BIG, two(t0) + tcand, _BIG)
+                    # Near/far clip in NDC (the raster pipeline's clip
+                    # volume). Also culls grazing-ray junk candidates
+                    # (k2 ~ 1e-20 quadratics yield t ~ 1e16 'hits' whose
+                    # blown-up shading is NaN under Mosaic) before they
+                    # can reach the K-buffer or the overflow merge.
+                    vz_clip = tw * invlen
+                    znd_clip = zA - zB / jnp.maximum(vz_clip, 1e-12)
+                    tw = jnp.where(
+                        (znd_clip >= 0.0) & (znd_clip <= 1.0), tw, _BIG
+                    )
                     if use_peel:
                         # Depth peeling (DepthPeelingRenderer.cpp:423):
                         # fragments at or in front of the previous pass's
@@ -497,15 +513,25 @@ def _mlab_kernel(
                         znd = jnp.where(
                             has, zA - zB / jnp.maximum(vz, 1e-12), 2.0
                         )
-                        sa = sel(ac)
+
+                        # When no candidate remains (has=False), win covers
+                        # every (invalid) candidate and sel() would average
+                        # their garbage — invalid-candidate shading can be
+                        # NaN under Mosaic's transcendental lowering, and
+                        # IEEE 0*NaN = NaN would poison the overflow merge.
+                        # Gate every carried quantity on `has`.
+                        def selh(v):
+                            return jnp.where(has, sel(v), 0.0)
+
+                        sa = selh(ac)
                         if store_mode == "gather":
-                            carry = (znd, sel(rc), sel(gc), sel(bc), sa)
+                            carry = (znd, selh(rc), selh(gc), selh(bc), sa)
                         else:
                             carry = (
                                 znd,
-                                sel(rc) * sa,
-                                sel(gc) * sa,
-                                sel(bc) * sa,
+                                selh(rc) * sa,
+                                selh(gc) * sa,
+                                selh(bc) * sa,
                                 sa,
                             )
                         for j in range(K):
@@ -533,12 +559,18 @@ def _mlab_kernel(
                             # transmittance under the node.
                             evict_has = has & (carry[0] < 2.0)
                             aK = a_refs[K - 1][k : k + 1, :]
-                            w = jnp.where(evict_has, 1.0 - aK, 0.0)
-                            r_refs[K - 1][k : k + 1, :] += w * carry[1]
-                            g_refs[K - 1][k : k + 1, :] += w * carry[2]
-                            b_refs[K - 1][k : k + 1, :] += w * carry[3]
+                            w = 1.0 - aK
+
+                            def merge(c):
+                                # select, don't multiply: w*NaN would
+                                # poison the node even with w == 0
+                                return jnp.where(evict_has, w * c, 0.0)
+
+                            r_refs[K - 1][k : k + 1, :] += merge(carry[1])
+                            g_refs[K - 1][k : k + 1, :] += merge(carry[2])
+                            b_refs[K - 1][k : k + 1, :] += merge(carry[3])
                             a_refs[K - 1][k : k + 1, :] = jnp.minimum(
-                                aK + w * carry[4], 1.0
+                                aK + merge(carry[4]), 1.0
                             )
                         tw = jnp.where(win, _BIG, tw)
 
