@@ -106,6 +106,7 @@ def build_sorted_binning(
     chunk: int = 128,
     span_x: int = 2,
     span_y: int = 2,
+    seg2d: tuple = None,  # (sxa, sya, sxb, syb, sr): exact 2D capsule cull
 ) -> SortedBinning:
     tiles_x = -(-width // tile_w)
     tiles_y = -(-height // tile_h)
@@ -132,6 +133,44 @@ def build_sorted_binning(
         & (cand_ty <= ty1[None, None, :])
         & valid[None, None, :]
     )
+    if seg2d is not None:
+        # Exact 2D test: does the screen-space capsule (segment dilated by
+        # sr) overlap this tile's rect?  The bbox window keeps all
+        # span_x*span_y tiles of a diagonal segment's bounding box; a
+        # Liang-Barsky clip against the sr-expanded rect drops the corner
+        # tiles the tube never touches — which the kernel would otherwise
+        # discover one analytic intersection at a time.
+        sxa, sya, sxb, syb, sr = seg2d
+
+        def expand(v):
+            return v[None, None, :]
+
+        rx0 = cand_tx.astype(jnp.float32) * tile_w - expand(sr)
+        rx1 = (cand_tx + 1).astype(jnp.float32) * tile_w + expand(sr)
+        ry0 = cand_ty.astype(jnp.float32) * tile_h - expand(sr)
+        ry1 = (cand_ty + 1).astype(jnp.float32) * tile_h + expand(sr)
+        ax = expand(sxa)
+        ay = expand(sya)
+        dxs = expand(sxb - sxa)
+        dys = expand(syb - sya)
+
+        def axis_range(a0, r0, r1, d):
+            small = jnp.abs(d) < 1e-6
+            inv = 1.0 / jnp.where(small, 1.0, d)
+            t0 = (r0 - a0) * inv
+            t1 = (r1 - a0) * inv
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            inside = (a0 >= r0) & (a0 <= r1)
+            lo = jnp.where(small, jnp.where(inside, -1e9, 1e9), lo)
+            hi = jnp.where(small, jnp.where(inside, 1e9, -1e9), hi)
+            return lo, hi
+
+        lox, hix = axis_range(ax, rx0, rx1, dxs)
+        loy, hiy = axis_range(ay, ry0, ry1, dys)
+        t_lo = jnp.maximum(jnp.maximum(lox, loy), 0.0)
+        t_hi = jnp.minimum(jnp.minimum(hix, hiy), 1.0)
+        in_range = in_range & (t_hi >= t_lo)
     tile_id = jnp.where(in_range, cand_ty * tiles_x + cand_tx, num_tiles)
 
     zq = jnp.clip(payload_rows[15] * 1023.0, 0.0, 1023.0).astype(jnp.int32)

@@ -195,6 +195,10 @@ def prepare_capsule_frame(
         settings.width, settings.height,
         settings.tile_w, settings.tile_h, settings.chunk,
         settings.span_x, settings.span_y,
+        # Exact screen-space capsule-vs-tile cull (projection of a segment
+        # is a segment; sr is the radius at the nearest depth, so the 2D
+        # capsule with radius sr contains the true silhouette).
+        seg2d=(sxa, sya, sxb, syb, sr),
     )
 
     basis = _ray_basis(view_proj)  # columns right, up, fwd
