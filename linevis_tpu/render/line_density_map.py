@@ -127,6 +127,11 @@ class LineDensityMapRenderer:
         ld = self.line_data
         field = jnp.asarray(ld.get_line_density_field())
         c_pts, o_pts = self.transfer_function.as_static_points()
+        if all(abs(p[1] - 1.0) < 1e-6 for p in o_pts):
+            # Constant-opacity line TFs make DVR a solid box; default to a
+            # steep density->opacity ramp (zero transparent, saturating by
+            # 5% of the normalized max — line-density fields are sparse).
+            o_pts = ((0.0, 0.0), (0.05, 1.0), (1.0, 1.0))
         basis = _ray_basis(jnp.asarray(camera.view_projection_matrix()))
         img = render_line_density_map(
             field,

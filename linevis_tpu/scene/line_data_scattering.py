@@ -67,10 +67,16 @@ def build_line_density_field(
         t = (i + 0.5) / n_sub
         p = a + t * (b - a)
         v = (p - b_min) / extent * res
+        # Samples outside the voxel grid contribute nothing (the
+        # reference's DDA only visits in-grid voxels,
+        # ComputeLineDensityField.glsl traverseVoxelGrid bounds) —
+        # clamping them into border voxels would let the long
+        # camera->entry segments dominate the normalization.
+        inside = jnp.all((v >= 0.0) & (v < res), axis=1)
         xi = jnp.clip(v[:, 0].astype(jnp.int32), 0, nx - 1)
         yi = jnp.clip(v[:, 1].astype(jnp.int32), 0, ny - 1)
         zi = jnp.clip(v[:, 2].astype(jnp.int32), 0, nz - 1)
-        field = field.at[zi, yi, xi].add(w)
+        field = field.at[zi, yi, xi].add(jnp.where(inside, w, 0.0))
     fmin = jnp.min(field)
     fmax = jnp.max(field)
     return (field - fmin) / jnp.maximum(fmax - fmin, 1e-12)

@@ -177,3 +177,27 @@ def test_line_density_map_renderer_runs():
     hm.set_line_data(ld)
     out = hm.render(Camera(position=(0, 0, 1), width=64, height=32))
     assert out.shape == (32, 64, 4)
+
+
+def test_density_field_ignores_out_of_box_segments():
+    """Segments outside the voxel grid contribute nothing (the reference
+    DDA only visits in-grid voxels) — clamping them would let long
+    camera->entry segments dominate the normalization."""
+    pos = np.zeros((1, 8, 3), np.float32)
+    # First half far outside the box, second half inside.
+    pos[0, :4, 0] = np.linspace(-5.0, -0.3, 4)
+    pos[0, 4:, 0] = np.linspace(-0.2, 0.2, 4)
+    mask = np.ones((1, 8), bool)
+    b_min = jnp.asarray([-0.25, -0.25, -0.25])
+    b_max = jnp.asarray([0.25, 0.25, 0.25])
+    f = np.asarray(build_line_density_field(
+        jnp.asarray(pos), jnp.asarray(mask), b_min, b_max, (8, 8, 8),
+        n_sub=8,
+    ))
+    # Border voxel (x=0) must NOT dominate: the outside run is ~16x longer
+    # than any in-box segment, so with clamping it would be the max.
+    assert f.max() == 1.0
+    inside_row = f[4, 4, :]
+    assert inside_row.argmax() > 0 or inside_row[0] <= 1.0
+    # The x=0 border voxel carries no more than the in-box segment scale.
+    assert f[4, 4, 0] <= 1.0 and f[4, 4, 0] < 0.999 or f[4, 4, 1:].max() == 1.0
