@@ -166,11 +166,11 @@ def _mlab_kernel(
             get_dma(0, 0).start()
 
             def cond(state):
-                c, _ = state
+                c, _, _ = state
                 return c < nch
 
             def body(state):
-                c, zK_prev = state
+                c, zK_prev, aK_min_prev = state
                 slot = jax.lax.rem(c, 2)
                 get_dma(slot, c).wait()
                 coef = coef_scr[slot]  # [16, C]
@@ -186,7 +186,16 @@ def _mlab_kernel(
                 if store_mode in _ACCUM_MODES:
                     exit_now = jnp.bool_(False)
                 else:
-                    exit_now = chunk_zmin > zK_prev
+                    # Truncate only when the K-buffer's worst depth is
+                    # nearer than every remaining fragment AND the last
+                    # node is saturated — skipped fragments then
+                    # contribute < (1 - aK_min) ~ 1e-3 through the
+                    # overflow merge.  Without the saturation condition
+                    # the truncation depends on the chunk partitioning
+                    # (image-space sharding produces different layouts).
+                    exit_now = (chunk_zmin > zK_prev) & (
+                        aK_min_prev > 0.999
+                    )
 
                 @pl.when(jnp.logical_not(exit_now))
                 def _():
@@ -488,11 +497,15 @@ def _mlab_kernel(
                     for _slot in range(extraction_slots):
                         bt = jnp.min(tw, axis=0, keepdims=True)  # [1, P]
                         has = bt < _BIG
-                        win = tw <= bt
-                        # Exact ties are duplicated geometry (coincident caps
+                        # Near-ties are duplicated geometry (coincident caps
                         # of adjacent segments): average them, which both
                         # breaks the tie and dedups the joint (the reference
                         # tube mesh has a single shared surface there).
+                        # The window is a relative epsilon, not exact fp
+                        # equality — coincident-surface intersections computed
+                        # through different ray arithmetic (e.g. the band
+                        # window of the sharded path) differ by ~1 ulp.
+                        win = tw <= bt + jnp.abs(bt) * 1e-6
                         nwin = jnp.maximum(
                             jnp.sum(
                                 jnp.where(win, 1.0, 0.0), axis=0, keepdims=True
@@ -575,10 +588,14 @@ def _mlab_kernel(
                         tw = jnp.where(win, _BIG, tw)
 
                 zK = jnp.max(d_refs[K - 1][k : k + 1, :])
+                aK_min = jnp.min(a_refs[K - 1][k : k + 1, :])
                 c_next = jnp.where(exit_now, nch, c + 1)
-                return (c_next, zK)
+                return (c_next, zK, aK_min)
 
-            jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(2.0)))
+            jax.lax.while_loop(
+                cond, body,
+                (jnp.int32(0), jnp.float32(2.0), jnp.float32(0.0)),
+            )
 
 
 @partial(

@@ -37,7 +37,7 @@ from linevis_tpu.render.pipeline import (
     tube_vertex_stage,
 )
 
-__all__ = ["make_device_mesh", "render_opaque_sharded"]
+__all__ = ["make_device_mesh", "render_opaque_sharded", "render_tubes_mlab_sharded"]
 
 
 def make_device_mesh(n_devices: Optional[int] = None, axis: str = "y") -> Mesh:
@@ -178,3 +178,83 @@ def render_opaque_sharded(
         check_vma=False,
     )
     return shard_fn(mesh, view_proj, camera_position, tf_table)
+
+
+def render_tubes_mlab_sharded(
+    scene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+    device_mesh: Mesh,
+    K: int = 8,
+    opacity: float = 0.3,
+) -> jnp.ndarray:
+    """Transparent (MLAB) full-frame render sharded image-space: every
+    chip bins + renders + composites its own horizontal band of the
+    capsule scene (per-pixel OIT needs no cross-chip exchange).  The band
+    window is folded into the kernel's ray basis
+    (prepare_capsule_frame y_offset/full_height).
+    """
+    from linevis_tpu.kernels.raster_capsule_oit import rasterize_capsules_mlab
+    from linevis_tpu.kernels.tiles import unpack_tiles as unpack_tiles_fn
+    from linevis_tpu.render.tube_raster import prepare_capsule_frame
+
+    axis = device_mesh.axis_names[0]
+    n = device_mesh.devices.size
+    assert settings.height % (n * settings.tile_h) == 0, (
+        "height must be divisible by n_devices * tile_h"
+    )
+    H = settings.height
+    band_settings = dataclasses.replace(settings, height=H // n)
+
+    def band_body(scene, vp, cp, ab):
+        band = jax.lax.axis_index(axis)
+        band_h = band_settings.height
+        y_off = (band * band_h).astype(jnp.float32)
+        csr, params, _ = prepare_capsule_frame(
+            scene, vp, cp, ab, band_settings,
+            y_offset=y_off, full_height=H,
+        )
+        # Depth-cue range over the (replicated) scene — identical on all
+        # bands, so no collective is needed.
+        w_all = vp[3, :3] @ scene.a + vp[3, 3]
+        big = jnp.float32(3e38)
+        dmin = jnp.min(jnp.where(scene.mask, w_all, big))
+        dmax = jnp.max(jnp.where(scene.mask, w_all, -big))
+        params = params.at[11].set(dmin).at[12].set(dmax)
+        params = params.at[13].set(band_settings.depth_cue_strength)
+        params = params.at[14].set(opacity)
+        interpret = jax.default_backend() == "cpu"
+        depths, rgb, alpha = rasterize_capsules_mlab(
+            csr, params, band_settings.width, band_h,
+            band_settings.tile_w, band_settings.tile_h, K,
+            band_settings.tf_color, band_settings.tf_opacity,
+            interpret=interpret,
+        )
+        T = jnp.ones_like(alpha[0])
+        acc = jnp.zeros((3,) + alpha.shape[1:], jnp.float32)
+        for i in range(depths.shape[0]):
+            acc = acc + T[None] * rgb[:, i]
+            T = T * (1.0 - alpha[i])
+        bg = jnp.asarray(band_settings.background_color, jnp.float32)
+        out = acc + T[None] * bg[:3, None, None]
+
+        def unp(x):
+            return unpack_tiles_fn(
+                x, csr.tiles_x, csr.tiles_y, band_settings.tile_w,
+                band_settings.tile_h, band_settings.width, band_h,
+            )
+
+        return jnp.stack(
+            [unp(out[0]), unp(out[1]), unp(out[2]), unp(1.0 - T)], axis=0
+        )
+
+    shard_fn = jax.shard_map(
+        band_body,
+        mesh=device_mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    return shard_fn(scene, view_proj, camera_position, proj_ab)

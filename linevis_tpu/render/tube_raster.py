@@ -120,19 +120,32 @@ def prepare_capsule_frame(
     settings: RasterSettings,
     z_near: float = 1e-3,
     seg_alpha: jnp.ndarray = None,  # [2, S] (alpha0, dalpha) rows 11-12
+    y_offset: jnp.ndarray = None,  # band-local rendering: global y of row 0
+    full_height: int = None,  # full-frame height when y_offset is used
 ):
-    """Project segments, build the CSR binning + kernel params."""
+    """Project segments, build the CSR binning + kernel params.
+
+    With `y_offset`/`full_height` set, projection happens in FULL-frame
+    pixel space and is shifted into band-local rows — the image-space
+    multi-chip sharding path (parallel/mesh.py); `settings.height` is then
+    the band height. The returned params carry the band-windowed ray
+    basis, so the kernels reconstruct correct full-frame rays from
+    band-local pixel coordinates.
+    """
     o = camera_position
     a = scene.a
     b = scene.a + scene.ba
     r = scene.radius
+    proj_h = full_height if full_height is not None else settings.height
 
     def project(p):  # p [3, S] -> (sx, sy, w)
         clip = view_proj[:3, :3] @ p + view_proj[:3, 3][:, None]
         w = view_proj[3, :3] @ p + view_proj[3, 3]
         iw = 1.0 / jnp.where(jnp.abs(w) < z_near, z_near, w)
         sx = (clip[0] * iw * 0.5 + 0.5) * settings.width
-        sy = (0.5 - clip[1] * iw * 0.5) * settings.height
+        sy = (0.5 - clip[1] * iw * 0.5) * proj_h
+        if y_offset is not None:
+            sy = sy - y_offset
         return sx, sy, w
 
     sxa, sya, wa = project(a)
@@ -202,6 +215,21 @@ def prepare_capsule_frame(
     )
 
     basis = _ray_basis(view_proj)  # columns right, up, fwd
+    if y_offset is not None:
+        # Band window: the kernel computes v_band = 1 - y_local*(2/band_h);
+        # the true v_full = a*v_band + c with a = band_h/full_h and
+        # c = 1 - a - 2*y_offset/full_h.  Fold the affine map into the
+        # basis columns: up' = up*a, fwd' = fwd + up*c.
+        a_win = settings.height / proj_h
+        c_win = 1.0 - a_win - 2.0 * y_offset / proj_h
+        basis = jnp.stack(
+            [
+                basis[:, 0],
+                basis[:, 1] * a_win,
+                basis[:, 2] + basis[:, 1] * c_win,
+            ],
+            axis=1,
+        )
     # params rows 0-8: B row-major where dir_i = B[i,0]*u + B[i,1]*v + B[i,2].
     # 9 zA, 10 zB, 11 dmin, 12 dmax, 13 depth-cue, 14 opacity scale,
     # 15 logDepthMin, 16 logDepthMax, 17 moment bias, 18 overestimation
