@@ -124,9 +124,101 @@ def scene_stress_bands(tmp_dir="out"):
     return render_opaque_image(mesh, cam, settings=_settings(w, h))
 
 
+def scene_vrc():
+    """Voxel ray casting: quantized voxel curves."""
+    from linevis_tpu.core.trajectories import Trajectories
+    from linevis_tpu.render.renderer import create_renderer
+    from linevis_tpu.scene.line_data import LineData
+
+    w, h = SMALL_SIZE
+    rng = np.random.default_rng(21)
+    L, P = 6, 8
+    pos = np.cumsum(rng.normal(0, 0.06, (L, P, 3)), axis=1).astype(np.float32)
+    pos -= pos.mean(axis=(0, 1))
+    traj = Trajectories(
+        positions=pos,
+        attributes=rng.uniform(0, 1, (L, 1, P)).astype(np.float32),
+        mask=np.ones((L, P), bool),
+        num_points=np.full((L,), P, np.int32),
+        attribute_names=["a"],
+    )
+    ld = LineData(traj)
+    ld.set_line_width(0.04)
+    r = create_renderer("Voxel Ray Casting")
+    r.set_line_data(ld)
+    return r.render(_camera(w, h))
+
+
+def scene_surface_cube():
+    """Indexed-surface raster path with the surface Blinn-Phong."""
+    from linevis_tpu.loaders.mesh_loader import SurfaceMesh, load_surface_mesh
+    from linevis_tpu.scene.triangle_mesh_data import (
+        TriangleMeshData,
+        TriangleMeshRenderer,
+    )
+
+    import os
+    import tempfile
+
+    w, h = SMALL_SIZE
+    verts = [(-1, -1, -1), (1, -1, -1), (1, 1, -1), (-1, 1, -1),
+             (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1)]
+    faces = [(1, 4, 3, 2), (5, 6, 7, 8), (1, 2, 6, 5), (3, 4, 8, 7),
+             (2, 3, 7, 6), (1, 5, 8, 4)]
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "cube.obj")
+        with open(path, "w") as f:
+            for p in verts:
+                f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+            for q in faces:
+                f.write("f " + " ".join(map(str, q)) + "\n")
+        data = TriangleMeshData.load_from_file(path)
+    r = TriangleMeshRenderer()
+    r.set_line_data(data)
+    from linevis_tpu.render.camera import Camera
+
+    return r.render(Camera(position=(0.8, 0.6, 1.2), look_at_point=(0, 0, 0),
+                           width=w, height=h))
+
+
+def scene_multivar():
+    """Multi-var sectored tubes through the concatenated-TF LUT."""
+    from linevis_tpu.render.camera import Camera
+    from linevis_tpu.render.multivar import (
+        MultiVarTransferFunctions,
+        build_multivar_tube_mesh,
+        combine_transfer_function_table,
+    )
+    from linevis_tpu.render.opaque import render_opaque_image
+    from linevis_tpu.render.transfer_function import TransferFunction
+
+    w, h = SMALL_SIZE
+    L, P = 3, 6
+    pos = np.zeros((L, P, 3), np.float32)
+    pos[:, :, 0] = np.linspace(-0.3, 0.3, P)
+    for i in range(L):
+        pos[i, :, 1] = -0.15 + 0.15 * i
+    mask = np.ones((L, P), bool)
+    rng = np.random.default_rng(13)
+    a0 = rng.uniform(0, 1, (L, P)).astype(np.float32)
+    a1 = rng.uniform(0, 1, (L, P)).astype(np.float32)
+    mv = MultiVarTransferFunctions(
+        [TransferFunction.standard(), TransferFunction.standard()]
+    )
+    combined = combine_transfer_function_table(mv)
+    mesh = build_multivar_tube_mesh(pos, mask, [a0, a1], radius=0.04,
+                                    num_subdivisions=8)
+    cam = Camera(position=(0.0, 0.0, 1.2), width=w, height=h)
+    return render_opaque_image(mesh, cam, tf=combined,
+                               settings=_settings(w, h))
+
+
 ALL_SCENES = {
     "opaque_tubes": scene_opaque_tubes,
     "mlab_transparent": scene_mlab_transparent,
     "mboit": scene_mboit,
     "stress_bands": scene_stress_bands,
+    "vrc": scene_vrc,
+    "surface_cube": scene_surface_cube,
+    "multivar": scene_multivar,
 }
