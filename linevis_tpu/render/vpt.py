@@ -126,7 +126,8 @@ def vpt_trace_rays(
         d0 = jnp.where(hit, t_max - t_min, -1.0)
 
         def step(state, k):
-            x, w, d, weights, alive, absorbed = state
+            (x, w, d, weights, alive, absorbed,
+             first_x, first_has) = state
             k1, k2, k3 = jax.random.split(k, 3)
             u1 = jax.random.uniform(k1)
             t = -jnp.log(jnp.maximum(1e-10, 1.0 - u1)) / majorant
@@ -186,19 +187,26 @@ def vpt_trace_rays(
             x_out = jnp.where(active, x_out, x)
             w_out = jnp.where(active, w_new, w)
             d_out = jnp.where(active, d_new, d)
+            # First scatter event (the reference's ScatterEvent feature
+            # map, VolumetricPathTracingPass feature maps / firstEvent).
+            record_first = active & scatter_now & ~first_has
+            first_x_out = jnp.where(record_first, x_new, first_x)
+            first_has_out = first_has | record_first
             return (x_out, w_out, d_out, weights_out, alive_out,
-                    absorbed_out), None
+                    absorbed_out, first_x_out, first_has_out), None
 
         keys = jax.random.split(key, max_events)
         init = (
-            x, w0, d0, jnp.ones((3,), jnp.float32), hit, jnp.bool_(False)
+            x, w0, d0, jnp.ones((3,), jnp.float32), hit, jnp.bool_(False),
+            jnp.zeros((3,), jnp.float32), jnp.bool_(False),
         )
-        (xf, wf, df, weights, alive, absorbed), _ = jax.lax.scan(
-            step, init, keys
+        (xf, wf, df, weights, alive, absorbed, first_x, first_has), _ = (
+            jax.lax.scan(step, init, keys)
         )
         weights = jnp.minimum(weights, 1e5)
         bg = sample_skybox(wf) + sample_light(wf, sun_dir, sun_ic)
-        return jnp.where(absorbed, 0.0, weights * bg)
+        radiance = jnp.where(absorbed, 0.0, weights * bg)
+        return radiance, first_x, first_has
 
     keys = jax.random.split(key, origins.shape[0])
     return jax.vmap(trace_one)(keys, origins, directions)
@@ -283,7 +291,8 @@ def _decomposition_trace(
             step, init, keys
         )
         bg = sample_skybox(wf) + sample_light(wf, sun_dir, sun_ic)
-        return jnp.where(absorbed, 0.0, bg)
+        radiance = jnp.where(absorbed, 0.0, bg)
+        return (radiance, jnp.zeros((3,), jnp.float32), jnp.bool_(False))
 
     keys = jax.random.split(key, origins.shape[0])
     return jax.vmap(trace_one)(keys, origins, directions)
@@ -291,7 +300,8 @@ def _decomposition_trace(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "settings", "spp"),
+    static_argnames=("width", "height", "settings", "spp",
+                     "return_features"),
 )
 def render_vpt(
     key: jnp.ndarray,
@@ -302,8 +312,13 @@ def render_vpt(
     height: int,
     settings: VptSettings = VptSettings(),
     spp: int = 2,
+    return_features: bool = False,
 ) -> jnp.ndarray:
-    """-> [H, W, 3] linear radiance (average of spp jittered samples)."""
+    """-> [H, W, 3] linear radiance (average of spp jittered samples).
+
+    With return_features, also returns (first_scatter_position [H, W, 3],
+    first_scatter_valid [H, W]) from the first sample — the reference's
+    ScatterEvent feature maps feeding the denoiser chain."""
     extinction = jnp.asarray(settings.extinction, jnp.float32)
     albedo = jnp.asarray(settings.scattering_albedo, jnp.float32)
     sun_dir = jnp.asarray(settings.sun_direction, jnp.float32)
@@ -331,12 +346,22 @@ def render_vpt(
         d = d / jnp.linalg.norm(d, axis=0, keepdims=True)
         dirs = d.reshape(3, -1).T
         origins = jnp.broadcast_to(ray_origin, dirs.shape)
-        acc = acc + vpt_trace_rays(
+        radiance, first_x, first_has = vpt_trace_rays(
             kt, grid, origins, dirs, extinction, albedo, sun_dir, sun_ic,
             phase_g=settings.phase_g, mode=settings.mode,
             max_events=settings.max_events,
         )
-    return (acc / spp).reshape(height, width, 3)
+        acc = acc + radiance
+        if s == 0:
+            feat_x = first_x
+            feat_has = first_has
+    img = (acc / spp).reshape(height, width, 3)
+    if return_features:
+        return img, (
+            feat_x.reshape(height, width, 3),
+            feat_has.reshape(height, width),
+        )
+    return img
 
 
 class VolumetricPathTracerRenderer:
@@ -351,6 +376,8 @@ class VolumetricPathTracerRenderer:
         self.vpt = VptSettings()
         self.frame = 0
         self._accum = None
+        self._features = None
+        self.denoiser = "None"  # None | EAW | SVGF (Denoiser.hpp:62-99)
         if settings is not None:
             self.set_new_settings(settings)
 
@@ -373,6 +400,8 @@ class VolumetricPathTracerRenderer:
             e = settings.get_float("extinction")
             self.vpt = dataclasses.replace(self.vpt, extinction=(e, e, e))
             changed = True
+        if settings.has_key("denoiser"):
+            self.denoiser = settings.get_value("denoiser")
         if changed:
             self._accum = None
             self.frame = 0
@@ -382,12 +411,13 @@ class VolumetricPathTracerRenderer:
 
         grid = jnp.asarray(self.line_data.cloud_grid)
         basis = _ray_basis(jnp.asarray(camera.view_projection_matrix()))
-        img = render_vpt(
+        img, (first_x, first_has) = render_vpt(
             jax.random.PRNGKey(self.frame),
             grid,
             jnp.asarray(np.asarray(camera.position, np.float32)),
             basis, camera.width, camera.height,
             settings=self.vpt, spp=self.vpt.samples_per_frame,
+            return_features=True,
         )
         img = np.asarray(img)
         if self._accum is None:
@@ -395,8 +425,28 @@ class VolumetricPathTracerRenderer:
         else:
             n = min(self.frame, 31)
             self._accum = (self._accum * n + img) / (n + 1)
+        if self._features is None:
+            self._features = (first_x, first_has)
         self.frame += 1
+        out = self._accum
+        if self.denoiser != "None":
+            out = np.asarray(self._denoise(jnp.asarray(self._accum)))
         rgba = np.concatenate(
-            [self._accum, np.ones(img.shape[:2] + (1,), np.float32)], axis=-1
+            [out, np.ones(img.shape[:2] + (1,), np.float32)], axis=-1
         )
         return rgba
+
+    def _denoise(self, img_hw3):
+        """Feature-guided denoise of the accumulator: first-scatter
+        positions are the position feature map (the reference feeds
+        firstEvent.x into the denoiser's position channel)."""
+        from linevis_tpu.render.denoiser import eaw_denoise, svgf_denoise
+
+        color = jnp.moveaxis(img_hw3, -1, 0)
+        first_x, first_has = self._features
+        # Invalid pixels (no scatter event) get a far-away sentinel so the
+        # position edge-stop separates them from the cloud.
+        pos = jnp.where(first_has[None], jnp.moveaxis(first_x, -1, 0), 1e3)
+        fn = svgf_denoise if self.denoiser == "SVGF" else eaw_denoise
+        out = fn(color, position=pos)
+        return jnp.moveaxis(out, 0, -1)

@@ -125,3 +125,81 @@ def test_vpt_renderer_accumulates():
     assert a.shape == (16, 24, 4)
     assert np.isfinite(b).all()
     assert r.frame == 2
+
+
+def test_first_scatter_features():
+    """return_features yields the reference's ScatterEvent maps: valid
+    pixels' first-scatter positions lie inside the volume AABB
+    (VolumetricPathTracingPass firstEvent feature maps)."""
+    from linevis_tpu.trace.scattering import grid_box
+
+    grid = _cloud_block(res=8, density=2.0)
+    cam, basis = _camera()
+    s = VptSettings(extinction=(300.0,) * 3, max_events=96)
+    img, (first_x, first_has) = render_vpt(
+        jax.random.PRNGKey(7), jnp.asarray(grid),
+        jnp.asarray(np.asarray(cam.position, np.float32)), basis,
+        W, H, settings=s, spp=1, return_features=True,
+    )
+    first_x = np.asarray(first_x)
+    first_has = np.asarray(first_has)
+    assert first_x.shape == (H, W, 3) and first_has.shape == (H, W)
+    # A dense cloud in front of the camera: the central pixel must scatter.
+    assert first_has[H // 2, W // 2]
+    b_min, b_max = grid_box(grid.shape)
+    pts = first_x[first_has]
+    assert (pts >= np.asarray(b_min) - 1e-4).all()
+    assert (pts <= np.asarray(b_max) + 1e-4).all()
+
+
+def test_denoiser_reduces_vpt_error():
+    """EAW with first-scatter position features: denoised low-spp VPT is
+    closer (MSE) to a high-spp reference than the raw low-spp render —
+    the reference denoiser chain's purpose (EAWDenoiser.cpp)."""
+    from linevis_tpu.render.denoiser import eaw_denoise
+
+    grid = _cloud_block(res=8, density=1.0)
+    cam, basis = _camera()
+    s = VptSettings(extinction=(200.0,) * 3,
+                    scattering_albedo=(0.95,) * 3, max_events=128)
+    pos_cam = jnp.asarray(np.asarray(cam.position, np.float32))
+
+    ref = np.asarray(render_vpt(
+        jax.random.PRNGKey(100), jnp.asarray(grid), pos_cam, basis,
+        W, H, settings=s, spp=48,
+    ))
+    low, (first_x, first_has) = render_vpt(
+        jax.random.PRNGKey(5), jnp.asarray(grid), pos_cam, basis,
+        W, H, settings=s, spp=2, return_features=True,
+    )
+    pos = jnp.where(jnp.asarray(first_has)[None],
+                    jnp.moveaxis(jnp.asarray(first_x), -1, 0), 1e3)
+    den = np.moveaxis(np.asarray(
+        eaw_denoise(jnp.moveaxis(jnp.asarray(low), -1, 0), position=pos)
+    ), 0, -1)
+    mse_raw = float(((np.asarray(low) - ref) ** 2).mean())
+    mse_den = float(((den - ref) ** 2).mean())
+    assert mse_den < mse_raw * 0.7, (mse_raw, mse_den)
+
+
+def test_vpt_renderer_denoiser_setting():
+    from linevis_tpu.render.camera import Camera
+    from linevis_tpu.render.renderer import create_renderer
+    from linevis_tpu.scene.line_data_scattering import LineDataScattering
+    from linevis_tpu.trace.scattering import ScatteringTracingSettings
+
+    grid = _cloud_block(res=8)
+    ld = LineDataScattering.trace(
+        grid,
+        ScatteringTracingSettings(res_x=2, res_y=2, samples_per_pixel=1,
+                                  max_events=16),
+    )
+    for name in ("EAW", "SVGF"):
+        r = create_renderer("Volumetric Path Tracer")
+        r.set_line_data(ld)
+        r.vpt = VptSettings(extinction=(100.0,) * 3, max_events=64,
+                            samples_per_frame=1)
+        r.denoiser = name
+        out = r.render(Camera(position=(0, 0.1, 0.9), width=24, height=16))
+        assert out.shape == (16, 24, 4)
+        assert np.isfinite(out).all()
