@@ -1,0 +1,265 @@
+"""Linear BVH (Morton radix tree) over primitive AABBs.
+
+Port of the reference's BVH payload (`src/LineData/TrianglePayload/
+NodesBVHTreePayload.cpp:474-521` building over `submodules/bvh`
+(madmann91/bvh); builder enum `src/Renderers/Deferred/DeferredModes.hpp:
+79-92` — Binned SAH / Sweep SAH / LOC / LINEAR (Morton) BVH).  The TPU
+rebuild implements the LINEAR builder — the one the reference uses for
+GPU-driven culling queues — as a fully data-parallel Karras 2012 radix
+tree: every step (Morton codes, sort, per-node range search, split, and
+range-min/max bounds) is a vmapped O(log N) primitive, so the whole
+build is a handful of XLA kernels with no sequential host loop.
+
+Layout (N leaves, N-1 internal nodes):
+* leaves occupy ids [N-1, 2N-2] in sorted-Morton order,
+* internal node i covers the contiguous sorted-leaf range
+  [first[i], last[i]]; bounds come from an O(N log N) sparse-table
+  range min/max, not a bottom-up traversal (no scatter dependencies).
+
+`ray_query` is a classic stack-based closest-hit traversal inside
+`lax.while_loop`, vmapped over the ray wavefront — the same consumer
+shape as the reference's GPU queue traversal
+(`Deferred/Tree/NodesBVHDrawCountPass`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Lbvh", "morton_codes", "build_lbvh", "ray_query"]
+
+
+def _expand_bits(v):
+    """Spread 10 bits to every 3rd position (standard Morton helper)."""
+    v = (v * jnp.uint32(0x00010001)) & jnp.uint32(0xFF0000FF)
+    v = (v * jnp.uint32(0x00000101)) & jnp.uint32(0x0F00F00F)
+    v = (v * jnp.uint32(0x00000011)) & jnp.uint32(0xC30C30C3)
+    v = (v * jnp.uint32(0x00000005)) & jnp.uint32(0x49249249)
+    return v
+
+
+def morton_codes(points: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] points in [0,1]^3 -> 30-bit Morton codes [N] (uint32)."""
+    q = jnp.clip(points * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
+    return (
+        (_expand_bits(q[:, 0]) << 2)
+        | (_expand_bits(q[:, 1]) << 1)
+        | _expand_bits(q[:, 2])
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Lbvh:
+    """Radix-tree BVH. Internal nodes [0, N-2], leaves [N-1, 2N-2]."""
+
+    left: jnp.ndarray  # [N-1] child node id
+    right: jnp.ndarray  # [N-1]
+    node_min: jnp.ndarray  # [2N-1, 3]
+    node_max: jnp.ndarray  # [2N-1, 3]
+    leaf_prim: jnp.ndarray  # [N] sorted-leaf -> original primitive index
+
+
+def _delta_fn(codes):
+    """delta(i, j): common-prefix length of the (code, index) pairs —
+    Karras 2012 §4's index tie-break, realized as two uint32 levels
+    (uint64 is unavailable without x64)."""
+    n = codes.shape[0]
+
+    def delta(i, j):
+        valid = (j >= 0) & (j < n)
+        jc = jnp.clip(j, 0, n - 1)
+        x = codes[i] ^ codes[jc]
+        ix = (i.astype(jnp.uint32) ^ jc.astype(jnp.uint32))
+        lz = jnp.where(
+            x == 0,
+            32 + (32 - _bit_length(ix)),
+            32 - _bit_length(x),
+        )
+        return jnp.where(valid, lz, -1)
+
+    return delta
+
+
+def _bit_length(x):
+    """Highest set bit position + 1 for uint64 (0 -> 0)."""
+    r = jnp.zeros(x.shape, jnp.int32)
+    for s in (32, 16, 8, 4, 2, 1):
+        hi = x >> s
+        has = hi > 0
+        r = r + jnp.where(has, s, 0)
+        x = jnp.where(has, hi, x)
+    return r + (x > 0).astype(jnp.int32)
+
+
+@partial(jax.jit)
+def build_lbvh(aabb_min: jnp.ndarray, aabb_max: jnp.ndarray) -> Lbvh:
+    """Build from per-primitive AABBs [N, 3] (N >= 2)."""
+    n = aabb_min.shape[0]
+    centroid = 0.5 * (aabb_min + aabb_max)
+    lo = jnp.min(aabb_min, axis=0)
+    hi = jnp.max(aabb_max, axis=0)
+    unit = (centroid - lo) / jnp.maximum(hi - lo, 1e-12)
+    codes = morton_codes(unit)
+    order = jnp.argsort(codes)
+    codes_s = codes[order]
+    delta = _delta_fn(codes_s)
+
+    n_bits = int(np.ceil(np.log2(max(n, 2)))) + 1
+
+    def node_range(i):
+        d = jnp.sign(delta(i, i + 1) - delta(i, i - 1)).astype(jnp.int32)
+        dmin = delta(i, i - d)
+
+        # Exponential upper bound: first lmax with delta(i, i+lmax*d)
+        # <= dmin (delta is non-increasing away from i, so once the
+        # guard fails it stays false).
+        def grow(_, l):
+            return jnp.where(delta(i, i + l * d) > dmin, l * 2, l)
+
+        lmax = jax.lax.fori_loop(0, n_bits + 2, grow, jnp.int32(2))
+
+        # Binary search the exact length.
+        def shrink(_, lt):
+            l, t = lt
+            l = jnp.where(
+                (t > 0) & (delta(i, i + (l + t) * d) > dmin), l + t, l
+            )
+            return l, t // 2
+
+        l, _ = jax.lax.fori_loop(
+            0, n_bits + 1, shrink, (jnp.int32(0), lmax // 2)
+        )
+        j = i + l * d
+        # Split position: highest differing bit inside [min(i,j), max(i,j)].
+        dnode = delta(i, j)
+
+        def split(_, st):
+            s, t = st
+            s = jnp.where(
+                (t > 0) & (delta(i, i + (s + t) * d) > dnode), s + t, s
+            )
+            return s, jnp.where(t > 1, (t + 1) // 2, 0)
+
+        s, _ = jax.lax.fori_loop(
+            0, n_bits + 1, split, (jnp.int32(0), (l + 1) // 2)
+        )
+        gamma = i + s * d + jnp.minimum(d, 0)
+        first = jnp.minimum(i, j)
+        last = jnp.maximum(i, j)
+        left = jnp.where(first == gamma, (n - 1) + gamma, gamma)
+        right = jnp.where(last == gamma + 1, (n - 1) + gamma + 1, gamma + 1)
+        return left, right, first, last
+
+    idx = jnp.arange(n - 1)
+    left, right, first, last = jax.vmap(node_range)(idx)
+
+    # Bounds: sparse-table range min/max over sorted leaf AABBs.
+    lmin = aabb_min[order]
+    lmax_ = aabb_max[order]
+    levels_min = [lmin]
+    levels_max = [lmax_]
+    j = 1
+    while j < n:
+        prev_min = levels_min[-1]
+        prev_max = levels_max[-1]
+        shift_min = jnp.concatenate([prev_min[j:], prev_min[-j:]], axis=0)
+        shift_max = jnp.concatenate([prev_max[j:], prev_max[-j:]], axis=0)
+        levels_min.append(jnp.minimum(prev_min, shift_min))
+        levels_max.append(jnp.maximum(prev_max, shift_max))
+        j *= 2
+
+    levels_min_arr = jnp.stack(levels_min)  # [L, N, 3]
+    levels_max_arr = jnp.stack(levels_max)
+
+    def range_bounds(a, b):
+        ln = b - a + 1
+        k = _bit_length(ln.astype(jnp.uint32)) - 1
+        k = jnp.clip(k, 0, len(levels_min) - 1)
+        sz = (jnp.int32(1) << k)
+        b2 = jnp.maximum(b - sz + 1, 0)
+        bmin = jnp.minimum(levels_min_arr[k, a], levels_min_arr[k, b2])
+        bmax = jnp.maximum(levels_max_arr[k, a], levels_max_arr[k, b2])
+        return bmin, bmax
+
+    int_min, int_max = jax.vmap(range_bounds)(first, last)
+    node_min = jnp.concatenate([int_min, lmin], axis=0)
+    node_max = jnp.concatenate([int_max, lmax_], axis=0)
+    return Lbvh(
+        left=left, right=right, node_min=node_min, node_max=node_max,
+        leaf_prim=order,
+    )
+
+
+def _ray_aabb(o, inv_d, bmin, bmax, t_best):
+    t0 = (bmin - o) * inv_d
+    t1 = (bmax - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1))
+    tf = jnp.min(jnp.maximum(t0, t1))
+    return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
+
+
+@partial(jax.jit, static_argnames=("prim_hit_fn", "max_stack"))
+def ray_query(
+    bvh: Lbvh,
+    origins: jnp.ndarray,  # [R, 3]
+    directions: jnp.ndarray,  # [R, 3]
+    prim_hit_fn=None,  # (prim_idx, o, d) -> t (inf on miss); None: AABB t
+    max_stack: int = 64,
+):
+    """Closest-hit traversal -> (t [R], prim [R], int32; -1 on miss)."""
+    n = bvh.leaf_prim.shape[0]
+
+    def query_one(o, d):
+        inv_d = jnp.where(jnp.abs(d) < 1e-12, 1e12 * jnp.sign(d + 1e-30),
+                          1.0 / d)
+        stack = jnp.zeros((max_stack,), jnp.int32)
+        state = (jnp.int32(1), stack.at[0].set(0), jnp.float32(jnp.inf),
+                 jnp.int32(-1))
+
+        def cond(s):
+            return s[0] > 0
+
+        def body(s):
+            sp, stack, t_best, best = s
+            node = stack[sp - 1]
+            sp = sp - 1
+            is_leaf = node >= (n - 1)
+            hit_box = _ray_aabb(
+                o, inv_d, bvh.node_min[node], bvh.node_max[node], t_best
+            )
+
+            # Leaf: run the primitive test.
+            prim = bvh.leaf_prim[jnp.clip(node - (n - 1), 0, n - 1)]
+            if prim_hit_fn is not None:
+                t_leaf = prim_hit_fn(prim, o, d)
+            else:
+                t0 = (bvh.node_min[node] - o) * inv_d
+                t1 = (bvh.node_max[node] - o) * inv_d
+                t_leaf = jnp.maximum(jnp.max(jnp.minimum(t0, t1)), 0.0)
+            leaf_take = is_leaf & hit_box & (t_leaf < t_best)
+            t_best = jnp.where(leaf_take, t_leaf, t_best)
+            best = jnp.where(leaf_take, prim, best)
+
+            # Internal: push children.
+            ni = jnp.clip(node, 0, n - 2)
+            push = (~is_leaf) & hit_box
+            stack = stack.at[jnp.where(push, sp, max_stack - 1)].set(
+                jnp.where(push, bvh.left[ni], stack[max_stack - 1])
+            )
+            sp = sp + push.astype(jnp.int32)
+            stack = stack.at[jnp.where(push, sp, max_stack - 1)].set(
+                jnp.where(push, bvh.right[ni], stack[max_stack - 1])
+            )
+            sp = sp + push.astype(jnp.int32)
+            return (sp, stack, t_best, best)
+
+        _, _, t_best, best = jax.lax.while_loop(cond, body, state)
+        return t_best, best
+
+    return jax.vmap(query_one)(origins, directions)

@@ -27,7 +27,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["eaw_denoise", "svgf_denoise"]
+__all__ = ["eaw_denoise", "svgf_denoise", "spatial_hash_denoise"]
 
 
 def _shift2d(img, dy, dx):
@@ -159,3 +159,67 @@ def svgf_denoise(
         var = acc_v / jnp.maximum(acc_w, 1e-8) ** 2
         step *= 2
     return out
+
+
+def _wang_hash(x):
+    """wang_hash (SH_Denoise.glsl:58-66) on uint32 lanes."""
+    x = (x ^ jnp.uint32(61)) ^ (x >> 16)
+    x = x * jnp.uint32(9)
+    x = x ^ (x >> 4)
+    x = x * jnp.uint32(0x27D4EB2D)
+    x = x ^ (x >> 15)
+    return x
+
+
+def _f2u(f):
+    return jax.lax.bitcast_convert_type(f.astype(jnp.float32), jnp.uint32)
+
+
+@partial(jax.jit, static_argnames=("table_size",))
+def spatial_hash_denoise(
+    values: jnp.ndarray,  # [H, W] noisy scalar (AO)
+    position: jnp.ndarray,  # [3, H, W] world positions
+    normal: jnp.ndarray,  # [3, H, W]
+    cam_pos: jnp.ndarray,  # [3]
+    s_p: float = 4.0,  # coarseness in pixels
+    s_min: float = 1e-3,  # smallest cell size
+    s_nd: float = 2.0,  # normal quantization
+    table_size: int = 1 << 20,
+) -> jnp.ndarray:
+    """Spatial-hashing denoiser (reference SpatialHashingDenoiser.cpp,
+    `Data/Shaders/Denoiser/SH_Denoise.glsl`): every pixel hashes its
+    world position — quantized at a DISTANCE-ADAPTIVE power-of-two cell
+    size (`s_wd_calc`, glsl:199-205) — plus its quantized normal
+    (`H7D`, glsl:132-141) into a hash map; cells average all noisy
+    contributions, and each pixel reads back its cell mean.
+
+    TPU-native: the atomic write pass becomes a `scatter-add` into the
+    (sum, count) table and the read pass a gather — one pass, no
+    atomics, no probing loop (hash collisions average instead of being
+    evicted by checksum; at the default table size they are rare)."""
+    H, W = values.shape
+    dis = jnp.linalg.norm(position - cam_pos[:, None, None], axis=0)
+    s_w = dis * jnp.tan(jnp.float32(s_p) / jnp.float32(H))
+    log_step = jnp.floor(jnp.log2(jnp.maximum(s_w / s_min, 1.0)))
+    s_wd = jnp.exp2(log_step) * s_min
+
+    cell = jnp.floor(position / s_wd[None])
+    nq = jnp.trunc(
+        normal
+        / jnp.maximum(jnp.linalg.norm(normal, axis=0, keepdims=True), 1e-9)
+        * s_nd
+    )
+    h = _wang_hash(
+        _f2u(cell[0])
+        + _wang_hash(_f2u(cell[1]) + _wang_hash(_f2u(cell[2])
+                                                + _f2u(s_wd)))
+    )
+    for c in range(3):
+        h = _wang_hash(_f2u(nq[c]) + h)
+    idx = (h % jnp.uint32(table_size)).astype(jnp.int32).reshape(-1)
+
+    sums = jnp.zeros((table_size,), jnp.float32).at[idx].add(
+        values.reshape(-1)
+    )
+    counts = jnp.zeros((table_size,), jnp.float32).at[idx].add(1.0)
+    return (sums[idx] / jnp.maximum(counts[idx], 1.0)).reshape(H, W)

@@ -167,6 +167,54 @@ def render_tubes_wboit(
     )
 
 
+@partial(jax.jit, static_argnames=("settings", "K", "opacity"))
+def render_tubes_atomic_loop(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+    K: int = 16,
+    opacity: float = 0.3,
+) -> jnp.ndarray:
+    """Atomic Loop 64 (reference AtomicLoop64Renderer.cpp:283): a K-deep
+    per-pixel buffer of packed (depth<<32 | color) entries maintained by a
+    64-bit atomicMin insertion loop — the steady state is exactly the K
+    nearest fragments in depth order, fragments beyond K are dropped.
+
+    The TPU kernel computes that steady state directly: an exact front-K
+    extraction with `no_overflow=True` (no MLAB merge), blended
+    front-to-back.  Identical output, no atomics needed — per-pixel
+    ordering is a sorting network in registers instead of memory traffic.
+    """
+    csr, params, _ = prepare_capsule_frame(
+        scene, view_proj, camera_position, proj_ab, settings
+    )
+    params = _mlab_params(scene, view_proj, params, settings, opacity)
+    interpret = jax.default_backend() == "cpu"
+    depths, rgb, alpha = rasterize_capsules_mlab(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, K,
+        settings.tf_color, settings.tf_opacity,
+        no_overflow=True, interpret=interpret,
+    )
+    T = jnp.ones_like(alpha[0])
+    acc = jnp.zeros((3,) + alpha.shape[1:], jnp.float32)
+    for i in range(K):
+        acc = acc + T[None] * rgb[:, i]
+        T = T * (1.0 - alpha[i])
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    out = acc + T[None] * bg[:3, None, None]
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+            settings.width, settings.height,
+        )
+
+    return jnp.stack([unp(out[0]), unp(out[1]), unp(out[2]), unp(1.0 - T)], 0)
+
+
 def _mlab_params(scene, view_proj, params, settings, opacity):
     """Fill depth-cue + opacity slots shared by the transparent passes."""
     w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]

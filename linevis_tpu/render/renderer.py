@@ -188,6 +188,20 @@ class _OitImageBase(LineRenderer):
         return np.moveaxis(np.asarray(img), 0, -1)
 
 
+class AtomicLoop64Renderer(_OitImageBase):
+    """Reference RENDERING_MODE_ATOMIC_LOOP_64 (AtomicLoop64Renderer.cpp:283):
+    exact K-nearest fragments (the 64-bit atomicMin loop's steady state),
+    no overflow merge."""
+
+    name = "Atomic Loop 64-Bit"
+    K = 16
+
+    def render(self, camera: Camera) -> np.ndarray:
+        from linevis_tpu.render.oit import render_tubes_atomic_loop
+
+        return self._render_with(camera, render_tubes_atomic_loop, K=self.K)
+
+
 class DepthPeelingRenderer(_OitImageBase):
     """Reference RENDERING_MODE_DEPTH_PEELING (DepthPeelingRenderer.cpp:423):
     exact front-to-back peeling, K layers per pass x 4 passes."""
@@ -366,6 +380,12 @@ class OpacityOptimizationRendererMode(LineRenderer):
 
 
 _REGISTRY: Dict[str, Type[LineRenderer]] = {}
+# Modes whose module imports this one (e.g. subclasses living in other
+# files): resolved on first create_renderer call to avoid import cycles.
+_LAZY_REGISTRY: Dict[str, tuple] = {
+    "Deferred Opaque": ("linevis_tpu.render.deferred",
+                        "DeferredOpaqueRenderer"),
+}
 
 
 def register_renderer(mode_name: str, cls: Type[LineRenderer]) -> None:
@@ -382,6 +402,7 @@ register_renderer(
 register_renderer("WBOIT", WBOITRenderer)  # RENDERING_MODE_NAMES[8]
 register_renderer("Moment-Based OIT", MBOITRenderer)
 register_renderer("Depth Peeling", DepthPeelingRenderer)
+register_renderer("Atomic Loop 64-Bit", AtomicLoop64Renderer)
 register_renderer("MLAB (Buckets)", MLABBucketRenderer)
 register_renderer("Depth Complexity", DepthComplexityRenderer)
 register_renderer("Opacity Optimization", OpacityOptimizationRendererMode)
@@ -406,13 +427,19 @@ def _register_scattering_modes():
 
 _register_scattering_modes()
 
-RENDERING_MODE_ALL = tuple(_REGISTRY.keys())
+RENDERING_MODE_ALL = tuple(_REGISTRY.keys()) + tuple(_LAZY_REGISTRY.keys())
 
 
 def create_renderer(mode_name: str, settings: Optional[SettingsMap] = None) -> LineRenderer:
     """Factory (MainApp::setRenderer). Unknown modes fall back to Opaque
     with a warning, mirroring MainApp.cpp:864-874."""
     cls = _REGISTRY.get(mode_name)
+    if cls is None and mode_name in _LAZY_REGISTRY:
+        import importlib
+
+        mod, attr = _LAZY_REGISTRY[mode_name]
+        cls = getattr(importlib.import_module(mod), attr)
+        _REGISTRY[mode_name] = cls
     if cls is None:
         warnings.warn(
             f"Rendering mode {mode_name!r} is not supported yet; "

@@ -1,0 +1,243 @@
+"""Super-voxel grids + residual ratio tracking (Novák et al. 2014).
+
+Port of the reference's super-voxel machinery
+(`src/Renderers/Scattering/PathTracer/SuperVoxelGrid.cpp:410`): the
+density grid is partitioned into cubic super voxels; each stores the
+CONTROL extinction `mu_c` (here the mean density of the super voxel
+times the global extinction — the variance-minimizing control of Novák
+et al. §4.3) and the residual majorant `mu_r_bar = max |mu - mu_c|`.
+The residual ratio transmittance estimator
+(`Data/Shaders/Scattering/Clouds/ResidualRatioTracking.glsl:34-83`)
+traverses super voxels with an Amanatides-Woo DDA and inside each one
+estimates T = T_c * T_r with the control transmittance analytic
+(`exp(-mu_c d)`) and only the residual tracked stochastically:
+`T_r *= 1 - (mu - mu_c) / mu_r_bar` at collisions sampled at rate
+`mu_r_bar`.
+
+TPU-native structure: the DDA is a bounded `lax.scan` over super-voxel
+steps, vmapped over the ray wavefront; the inner estimator is a
+`lax.while_loop` whose iteration count is tiny because `mu_r_bar`
+shrinks with the super-voxel residual (the entire point of the method —
+near-homogeneous regions cost ~0 samples).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linevis_tpu.trace.fields import sample_grid_trilinear
+from linevis_tpu.trace.scattering import _box_intersect, grid_box
+
+__all__ = [
+    "SuperVoxelGrid",
+    "build_super_voxel_grid",
+    "make_residual_ratio_tracer",
+    "residual_ratio_transmittance",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SuperVoxelGrid:
+    """Per-super-voxel control/residual extinctions, [Sz, Sy, Sx]."""
+
+    mu_c: jnp.ndarray
+    mu_r_bar: jnp.ndarray
+    size: int = dataclasses.field(metadata=dict(static=True))
+
+
+def build_super_voxel_grid(
+    grid: np.ndarray, extinction: float, size: int = 8
+) -> SuperVoxelGrid:
+    """Reference SuperVoxelGrid.cpp:410 (`computeSuperVoxels`): pool the
+    density grid into `size`^3 blocks; control = extinction * mean
+    density (Novák et al. 2014 §4.3 residual-minimizing control),
+    residual majorant = extinction * max |density - mean|."""
+    g = jnp.asarray(grid, jnp.float32)
+    sz, sy, sx = g.shape
+    nz, ny, nx = (-(-sz // size), -(-sy // size), -(-sx // size))
+    pad = ((0, nz * size - sz), (0, ny * size - sy), (0, nx * size - sx))
+    # Pad with edge values so padding never inflates the residual. All
+    # shapes are static, so this also works on traced grids under jit.
+    gp = jnp.pad(g, pad, mode="edge")
+    blocks = gp.reshape(nz, size, ny, size, nx, size)
+    mean = blocks.mean(axis=(1, 3, 5))
+    # The residual majorant must bound |mu - mu_c| for every TRILINEAR
+    # sample inside the super voxel, which mixes a 1-voxel halo from the
+    # neighbors: bound with the 3^3-neighborhood block max/min (slightly
+    # conservative; still a valid majorant, so still unbiased).
+    bmax = blocks.max(axis=(1, 3, 5))
+    bmin = blocks.min(axis=(1, 3, 5))
+    pad_b = ((1, 1), (1, 1), (1, 1))
+    bmax_p = jnp.pad(bmax, pad_b, mode="edge")
+    bmin_p = jnp.pad(bmin, pad_b, mode="edge")
+    hmax = jnp.full_like(bmax, -jnp.inf)
+    hmin = jnp.full_like(bmin, jnp.inf)
+    for dz in range(3):
+        for dy in range(3):
+            for dx in range(3):
+                hmax = jnp.maximum(
+                    hmax, bmax_p[dz:dz + nz, dy:dy + ny, dx:dx + nx]
+                )
+                hmin = jnp.minimum(
+                    hmin, bmin_p[dz:dz + nz, dy:dy + ny, dx:dx + nx]
+                )
+    resid = jnp.maximum(hmax - mean, mean - hmin)
+    return SuperVoxelGrid(
+        mu_c=extinction * mean,
+        mu_r_bar=jnp.maximum(extinction * resid, 1e-6),
+        size=int(size),
+    )
+
+
+def _rr_segment(key, gridf, b_min, extent, extinction, x0, w, d_seg,
+                mu_c, mu_r_bar, max_steps, T_in, t_base, scat_albedo,
+                reservoir):
+    """Residual ratio estimator over one super-voxel segment of length
+    d_seg (ResidualRatioTracking.glsl:34-83).  Alongside the
+    transmittance, the collision points feed a weighted RESERVOIR of
+    candidate scatter locations (weight `T_local * Ps`, RTG2 ch. 22 —
+    glsl:72-79) carried as (weight_sum, T_at_sample, distance).
+    Returns (key, T_estimate, reservoir)."""
+    T_c = jnp.exp(-mu_c * d_seg)
+    r_wsum, r_T, r_dist = reservoir
+
+    def cond(state):
+        key, t, T_r, n, _, _, _ = state
+        return (t < d_seg) & (n < max_steps)
+
+    def body(state):
+        key, t, T_r, n, r_wsum, r_T, r_dist = state
+        key, k1, k2 = jax.random.split(key, 3)
+        t_new = t - jnp.log(
+            jnp.maximum(1e-10, 1.0 - jax.random.uniform(k1))
+        ) / mu_r_bar
+        x = x0 + w * t_new
+        tpos = (x - b_min) / extent
+        density = sample_grid_trilinear(gridf, tpos)[..., 0]
+        mu = extinction * density
+        factor = 1.0 - (mu - mu_c) / mu_r_bar
+        inside = t_new < d_seg
+        T_r_new = jnp.where(inside, T_r * factor, T_r)
+        # Reservoir update (glsl:68-79): candidate weight T_local * Ps.
+        Ps = scat_albedo * density
+        T_local = T_in * T_r * jnp.exp(-mu_c * t_new)
+        rw = jnp.where(inside, T_local * Ps, 0.0)
+        r_wsum_new = r_wsum + rw
+        take = inside & (
+            jax.random.uniform(k2) < rw / jnp.maximum(r_wsum_new, 1e-20)
+        )
+        r_T_new = jnp.where(take, T_local, r_T)
+        r_dist_new = jnp.where(take, t_base + t_new, r_dist)
+        return (key, t_new, T_r_new, n + 1, r_wsum_new, r_T_new, r_dist_new)
+
+    key, _, T_r, _, r_wsum, r_T, r_dist = jax.lax.while_loop(
+        cond, body,
+        (key, jnp.float32(0.0), jnp.float32(1.0), 0, r_wsum, r_T, r_dist),
+    )
+    return key, T_c * T_r, (r_wsum, r_T, r_dist)
+
+
+def make_residual_ratio_tracer(
+    grid, sv, extinction, scat_albedo,
+    max_sv_steps: int = 64, max_steps_per_sv: int = 256,
+):
+    """Build `trace_one(key, x0, w) -> (T, reservoir, x_entry)`: the
+    super-voxel DDA (ResidualRatioTracking.glsl:124-210) estimating the
+    whole-segment transmittance while reservoir-sampling a scatter
+    location.  `reservoir` = (weight_sum, T_at_sample, distance from
+    x_entry)."""
+    b_min_np, b_max_np = grid_box(grid.shape)
+    b_min = jnp.asarray(b_min_np)
+    b_max = jnp.asarray(b_max_np)
+    extent = b_max - b_min
+    gridf = grid.astype(jnp.float32)[..., None]
+    nz, ny, nx = sv.mu_c.shape
+    sv_n = jnp.asarray([nx, ny, nz], jnp.float32)  # xyz order
+    cell = extent / sv_n  # super-voxel world size per axis
+
+    def trace_one(key, x0, w):
+        t_min, t_max, hit = _box_intersect(b_min, b_max, x0, w)
+        x_entry = x0 + w * (t_min + 1e-7)
+        d_total = jnp.maximum(t_max - t_min - 2e-7, 0.0)
+
+        # DDA setup in super-voxel index space (xyz).
+        p0 = (x_entry - b_min) / cell
+        idx0 = jnp.clip(jnp.floor(p0), 0.0, sv_n - 1.0)
+        step = jnp.sign(w)
+        inv = jnp.where(jnp.abs(w) < 1e-9, 1e9, 1.0 / jnp.abs(w))
+        t_delta = cell * inv
+        frac = p0 - idx0
+        dist_to_face = jnp.where(step > 0, 1.0 - frac, frac)
+        t_face = jnp.where(
+            jnp.abs(w) < 1e-9, 1e9, dist_to_face * cell * inv
+        )
+
+        def sv_step(state, _):
+            key, idx, t_max3, t_cur, T, res = state
+            inside = (
+                (idx >= 0).all() & (idx < sv_n).all() & (t_cur < d_total)
+            )
+            # Segment ends at the nearest super-voxel face (or volume exit).
+            t_next = jnp.minimum(jnp.min(t_max3), d_total)
+            d_seg = jnp.maximum(t_next - t_cur, 0.0)
+            ix = idx.astype(jnp.int32)
+            mu_c = sv.mu_c[ix[2], ix[1], ix[0]]
+            mu_r = sv.mu_r_bar[ix[2], ix[1], ix[0]]
+            key, T_seg, res_new = _rr_segment(
+                key, gridf, b_min, extent, extinction,
+                x_entry + w * t_cur, w, d_seg, mu_c, mu_r,
+                max_steps_per_sv, T, t_cur, scat_albedo, res,
+            )
+            ok = inside & (d_seg > 0)
+            T_new = jnp.where(ok, T * T_seg, T)
+            res = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(ok, n, o), res_new, res
+            )
+            # Advance to the neighbor across the nearest face.
+            axis = jnp.argmin(t_max3)
+            idx_new = idx + step * (jnp.arange(3) == axis)
+            t_max_new = t_max3 + t_delta * (jnp.arange(3) == axis)
+            idx = jnp.where(inside, idx_new, idx)
+            t_max3 = jnp.where(inside, t_max_new, t_max3)
+            t_cur = jnp.where(inside, t_next, t_cur)
+            return (key, idx, t_max3, t_cur, T_new, res), None
+
+        res0 = (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0))
+        init = (key, idx0, t_face, jnp.float32(0.0), jnp.float32(1.0),
+                res0)
+        (key, _, _, _, T, res), _ = jax.lax.scan(
+            sv_step, init, None, length=max_sv_steps
+        )
+        T = jnp.where(hit, T, 1.0)
+        return T, res, x_entry
+
+    return trace_one
+
+
+@partial(jax.jit, static_argnames=("max_sv_steps", "max_steps_per_sv"))
+def residual_ratio_transmittance(
+    key: jnp.ndarray,
+    grid: jnp.ndarray,  # [Z, Y, X] density
+    sv: SuperVoxelGrid,
+    origins: jnp.ndarray,  # [N, 3]
+    directions: jnp.ndarray,  # [N, 3] unit
+    extinction: float,
+    max_sv_steps: int = 64,
+    max_steps_per_sv: int = 256,
+) -> jnp.ndarray:
+    """Unbiased whole-volume transmittance per ray -> [N]
+    (ResidualRatioTracking.glsl:34-83 over a DDA of super voxels)."""
+    trace_one = make_residual_ratio_tracer(
+        grid, sv, extinction, 0.0, max_sv_steps, max_steps_per_sv
+    )
+    keys = jax.random.split(key, origins.shape[0])
+    return jax.vmap(
+        lambda k, x, w: trace_one(k, x, w)[0]
+    )(keys, origins, directions)

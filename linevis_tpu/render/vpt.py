@@ -39,7 +39,7 @@ __all__ = ["VptSettings", "vpt_trace_rays", "render_vpt", "VPT_MODES",
            "VolumetricPathTracerRenderer"]
 
 VPT_MODES = ("Delta Tracking", "Spectral Delta Tracking", "Ratio Tracking",
-             "Decomposition Tracking")
+             "Decomposition Tracking", "Residual Ratio Tracking")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +55,39 @@ class VptSettings:
     sun_direction: Tuple[float, float, float] = (0.5826, 0.7660, 0.2717)
     max_events: int = 512
     samples_per_frame: int = 2  # VulkanRayTracer-style accumulation
+    # Grid interpolation (VolumetricPathTracingPass.hpp:67-74):
+    # "Trilinear" | "Nearest" | "Stochastic" (jittered nearest, equal to
+    # a box filter in expectation).
+    interpolation: str = "Trilinear"
+    super_voxel_size: int = 8  # residual ratio tracking (SuperVoxelGrid)
+
+
+def _sample_density(gridf, tpos, interpolation, key=None):
+    """Density lookup with the reference's interpolation modes
+    (VolumetricPathTracingPass.hpp:67-74).  Nearest snaps to the voxel
+    whose CENTER is nearest in the trilinear index space; Stochastic
+    jitters the sample point by up to half a voxel before snapping,
+    which equals trilinear filtering in expectation.  `gridf` is a
+    dense [Z, Y, X, 1] array or a block-sparse `SparseGrid` (the
+    NanoVDB role, scene/sparse_grid.py)."""
+    from linevis_tpu.scene.sparse_grid import SparseGrid
+
+    sparse = isinstance(gridf, SparseGrid)
+
+    def tri(p):
+        return gridf.sample(p) if sparse else (
+            sample_grid_trilinear(gridf, p)[..., 0]
+        )
+
+    if interpolation == "Trilinear":
+        return tri(tpos)
+    nz, ny, nx = gridf.shape[0], gridf.shape[1], gridf.shape[2]
+    res = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.float32)
+    f = jnp.clip(tpos, 0.0, 1.0) * res
+    if interpolation == "Stochastic":
+        f = f + jax.random.uniform(key, (3,)) - 0.5
+    snapped = jnp.round(jnp.clip(f, 0.0, res)) / jnp.maximum(res, 1.0)
+    return tri(snapped)
 
 
 def _smoothstep(e0, e1, x):
@@ -88,7 +121,8 @@ def sample_light(w, sun_dir, sun_intensity_color):
     return sun_intensity_color * (d[..., None] ** n) * phong_norm
 
 
-@partial(jax.jit, static_argnames=("mode", "max_events", "phase_g"))
+@partial(jax.jit, static_argnames=("mode", "max_events", "phase_g",
+                                   "interpolation", "super_voxel_size"))
 def vpt_trace_rays(
     key: jnp.ndarray,
     grid: jnp.ndarray,  # [Z, Y, X]
@@ -101,13 +135,24 @@ def vpt_trace_rays(
     phase_g: float = 0.0,
     mode: str = "Delta Tracking",
     max_events: int = 512,
+    interpolation: str = "Trilinear",
+    super_voxel_size: int = 8,
 ):
-    """-> radiance [N, 3]."""
+    """-> (radiance [N, 3], first_scatter_pos [N, 3], first_has [N])."""
+    from linevis_tpu.scene.sparse_grid import SparseGrid
+
     b_min_np, b_max_np = grid_box(grid.shape)
     b_min = jnp.asarray(b_min_np)
     b_max = jnp.asarray(b_max_np)
     extent = b_max - b_min
-    gridf = grid.astype(jnp.float32)[..., None]
+    if isinstance(grid, SparseGrid):
+        gridf = grid  # block-sparse sampling path (NanoVDB role)
+        if mode in ("Decomposition Tracking", "Residual Ratio Tracking"):
+            raise NotImplementedError(
+                f"{mode} needs the dense grid (min/max reductions)"
+            )
+    else:
+        gridf = grid.astype(jnp.float32)[..., None]
     spectral = mode == "Spectral Delta Tracking"
     ratio = mode == "Ratio Tracking"
     decomposition = mode == "Decomposition Tracking"
@@ -119,6 +164,11 @@ def vpt_trace_rays(
             key, gridf, grid, origins, directions, extinction, albedo,
             sun_dir, sun_ic, phase_g, max_events, b_min, b_max, extent,
         )
+    if mode == "Residual Ratio Tracking":
+        return _residual_ratio_trace(
+            key, grid, origins, directions, extinction, albedo,
+            sun_dir, sun_ic, phase_g, super_voxel_size,
+        )
 
     def trace_one(key, x0, w0):
         t_min, t_max, hit = _box_intersect(b_min, b_max, x0, w0)
@@ -128,13 +178,13 @@ def vpt_trace_rays(
         def step(state, k):
             (x, w, d, weights, alive, absorbed,
              first_x, first_has) = state
-            k1, k2, k3 = jax.random.split(k, 3)
+            k1, k2, k3, k4 = jax.random.split(k, 4)
             u1 = jax.random.uniform(k1)
             t = -jnp.log(jnp.maximum(1e-10, 1.0 - u1)) / majorant
             exited = t > d
             x_new = x + w * t
             tpos = (x_new - b_min) / extent
-            density = sample_grid_trilinear(gridf, tpos)[..., 0]
+            density = _sample_density(gridf, tpos, interpolation, k4)
 
             sigma_a = abs_albedo * extinction * density
             sigma_s = albedo * extinction * density
@@ -207,6 +257,69 @@ def vpt_trace_rays(
         bg = sample_skybox(wf) + sample_light(wf, sun_dir, sun_ic)
         radiance = jnp.where(absorbed, 0.0, weights * bg)
         return radiance, first_x, first_has
+
+    keys = jax.random.split(key, origins.shape[0])
+    return jax.vmap(trace_one)(keys, origins, directions)
+
+
+def _residual_ratio_trace(
+    key, grid, origins, directions, extinction, albedo, sun_dir, sun_ic,
+    phase_g, super_voxel_size,
+):
+    """Residual ratio tracking VPT mode
+    (ResidualRatioTracking.glsl:85-239; Novák et al. 2014): per bounce,
+    a super-voxel DDA multiplies analytic-control x tracked-residual
+    transmittance along the whole ray while reservoir-sampling ONE
+    scatter location weighted by T*sigma_s (RTG2 ch. 22); the sky+sun
+    seen through the full ray is added with its transmittance at every
+    bounce, then the walk restarts from the reservoir sample.  Matches
+    the reference's estimator structure, including its 10-bounce cap."""
+    from linevis_tpu.render.super_voxel import (
+        build_super_voxel_grid,
+        make_residual_ratio_tracer,
+    )
+
+    sv = build_super_voxel_grid(grid, extinction[0], super_voxel_size)
+    tracer = make_residual_ratio_tracer(
+        grid, sv, extinction[0], albedo[0]
+    )
+    max_iterations = 10  # glsl:216
+
+    def trace_one(key, x0, w0):
+        def body(state):
+            (key, x, w, T, acc, it, done,
+             first_x, first_has) = state
+            key, kt, kx, kp = jax.random.split(key, 4)
+            T_seg, (r_wsum, r_T, r_dist), x_entry = tracer(kt, x, w)
+            T_new = T * T_seg
+            xi = jax.random.uniform(kx)
+            stop = (xi > r_wsum) | (it >= max_iterations)
+            # Pass-through contribution of this bounce direction
+            # (glsl:219,237): sky+sun through the whole volume.
+            acc_new = acc + T_new * (
+                sample_skybox(w) + sample_light(w, sun_dir, sun_ic)
+            )
+            x_scat = x_entry + w * r_dist
+            record = ~done & ~stop & ~first_has
+            first_x = jnp.where(record, x_scat, first_x)
+            first_has = first_has | record
+            x_next = jnp.where(stop, x, x_scat)
+            w_next = jnp.where(stop, w, _sample_phase(kp, phase_g, w))
+            T_next = jnp.where(stop, T_new, r_T)
+            return (key, x_next, w_next, T_next,
+                    jnp.where(done, acc, acc_new), it + 1, done | stop,
+                    first_x, first_has)
+
+        def cond(state):
+            return ~state[6]
+
+        init = (key, x0, w0, jnp.float32(1.0),
+                jnp.zeros((3,), jnp.float32), 0, jnp.bool_(False),
+                jnp.zeros((3,), jnp.float32), jnp.bool_(False))
+        (_, _, _, _, acc, _, _, first_x, first_has) = jax.lax.while_loop(
+            cond, body, init
+        )
+        return acc, first_x, first_has
 
     keys = jax.random.split(key, origins.shape[0])
     return jax.vmap(trace_one)(keys, origins, directions)
@@ -350,6 +463,8 @@ def render_vpt(
             kt, grid, origins, dirs, extinction, albedo, sun_dir, sun_ic,
             phase_g=settings.phase_g, mode=settings.mode,
             max_events=settings.max_events,
+            interpolation=settings.interpolation,
+            super_voxel_size=settings.super_voxel_size,
         )
         acc = acc + radiance
         if s == 0:

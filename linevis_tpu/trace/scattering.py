@@ -71,8 +71,15 @@ def _box_intersect(b_min, b_max, x, w):
     t0 = (b_min - x) * inv
     t1 = (b_max - x) * inv
     big = 1000.0
-    t0 = jnp.where(jnp.abs(w) <= 1e-6, -big, t0)
-    t1 = jnp.where(jnp.abs(w) <= 1e-6, big, t1)
+    small = jnp.abs(w) <= 1e-6
+    # Parallel to a slab: infinite interval if the origin lies between
+    # the planes, EMPTY interval otherwise (else off-axis rays parallel
+    # to a face would count as hits).
+    in_slab = (x >= b_min) & (x <= b_max)
+    # Outside: both ends at +big, so after the per-axis min/max sort the
+    # entry (max of mins) exceeds every exit (min of maxes) -> miss.
+    t0 = jnp.where(small, jnp.where(in_slab, -big, big), t0)
+    t1 = jnp.where(small, jnp.where(in_slab, big, big), t1)
     t_min = jnp.maximum(jnp.max(jnp.minimum(t0, t1)), 0.0)
     t_max = jnp.min(jnp.maximum(t0, t1))
     hit = (t_max >= t_min) & (t_max >= 0.0)

@@ -55,3 +55,56 @@ def test_eaw_identity_on_constant():
     img = jnp.full((3, 16, 16), 0.5, jnp.float32)
     out = np.asarray(eaw_denoise(img, num_iterations=2))
     np.testing.assert_allclose(out, 0.5, atol=1e-5)
+
+
+def test_spatial_hash_denoise_averages_within_cells():
+    """Pixels sharing a world-space cell + quantized normal get the cell
+    mean (SH_Denoise.glsl write/read passes); far-apart surfaces don't
+    mix."""
+    import jax.numpy as jnp
+    from linevis_tpu.render.denoiser import spatial_hash_denoise
+
+    H, W = 16, 32
+    rng = np.random.default_rng(0)
+    # Left half: one surface point; right half: a distant one.
+    pos = np.zeros((3, H, W), np.float32)
+    pos[:, :, W // 2:] = 5.0
+    nrm = np.zeros((3, H, W), np.float32)
+    nrm[2] = 1.0
+    noisy = np.where(
+        np.arange(W)[None, :] < W // 2,
+        0.3 + rng.normal(0, 0.05, (H, W)),
+        0.8 + rng.normal(0, 0.05, (H, W)),
+    ).astype(np.float32)
+    out = np.asarray(spatial_hash_denoise(
+        jnp.asarray(noisy), jnp.asarray(pos), jnp.asarray(nrm),
+        jnp.asarray([0.0, 0.0, 2.0], jnp.float32),
+    ))
+    left = noisy[:, :W // 2].mean()
+    right = noisy[:, W // 2:].mean()
+    np.testing.assert_allclose(out[:, :W // 2], left, atol=1e-5)
+    np.testing.assert_allclose(out[:, W // 2:], right, atol=1e-5)
+    assert abs(left - right) > 0.3  # cells did not merge
+
+
+def test_spatial_hash_denoise_respects_normals():
+    """Same cell, opposing normals -> separate hash entries (H7D mixes
+    the quantized normal into the key)."""
+    import jax.numpy as jnp
+    from linevis_tpu.render.denoiser import spatial_hash_denoise
+
+    H, W = 8, 8
+    pos = np.zeros((3, H, W), np.float32)
+    nrm = np.zeros((3, H, W), np.float32)
+    nrm[2, :, : W // 2] = 1.0
+    nrm[2, :, W // 2:] = -1.0
+    vals = np.where(np.arange(W)[None, :] < W // 2, 0.2, 0.9).astype(
+        np.float32
+    )
+    vals = np.broadcast_to(vals, (H, W)).copy()
+    out = np.asarray(spatial_hash_denoise(
+        jnp.asarray(vals), jnp.asarray(pos), jnp.asarray(nrm),
+        jnp.asarray([0.0, 0.0, 2.0], jnp.float32),
+    ))
+    np.testing.assert_allclose(out[:, : W // 2], 0.2, atol=1e-5)
+    np.testing.assert_allclose(out[:, W // 2:], 0.9, atol=1e-5)

@@ -203,3 +203,41 @@ def test_vpt_renderer_denoiser_setting():
         out = r.render(Camera(position=(0, 0.1, 0.9), width=24, height=16))
         assert out.shape == (16, 24, 4)
         assert np.isfinite(out).all()
+
+
+def test_residual_ratio_tracking_mode():
+    """Residual Ratio Tracking (ResidualRatioTracking.glsl:85-239): the
+    reference's reservoir-sampled super-voxel estimator.  Upstream marks
+    it work-in-progress (its continuation rule is not weight-normalized,
+    so it does NOT share the unbiased modes' mean exactly); the parity
+    contract is structural: finite, sky-dominated where the volume is
+    thin, and within coarse agreement of delta tracking."""
+    grid = _cloud_block(res=8, density=1.0, boundary=0.1)
+    m_rr = _mean_image("Residual Ratio Tracking", seed=0, grid=grid)
+    m_dt = _mean_image("Delta Tracking", seed=0, grid=grid)
+    assert 0.4 * m_dt < m_rr < 1.6 * m_dt, (m_rr, m_dt)
+
+
+def test_interpolation_modes():
+    """Nearest / Stochastic / Trilinear (VolumetricPathTracingPass.hpp:
+    67-74): stochastic jittered-nearest equals trilinear in expectation;
+    nearest differs on a smooth ramp."""
+    rng = np.random.default_rng(2)
+    grid = (0.2 + 0.8 * rng.uniform(0, 1, (8, 8, 8))).astype(np.float32)
+    cam, basis = _camera()
+    means = {}
+    for interp in ("Trilinear", "Nearest", "Stochastic"):
+        s = VptSettings(
+            mode="Delta Tracking", extinction=(120.0,) * 3,
+            scattering_albedo=(0.9,) * 3, max_events=128,
+            interpolation=interp,
+        )
+        img = np.asarray(render_vpt(
+            jax.random.PRNGKey(4), jnp.asarray(grid),
+            jnp.asarray(np.asarray(cam.position, np.float32)), basis,
+            W, H, settings=s, spp=16,
+        ))
+        assert np.isfinite(img).all()
+        means[interp] = img.mean()
+    assert abs(means["Stochastic"] - means["Trilinear"]) < 0.01, means
+    assert means["Nearest"] != means["Trilinear"]
