@@ -46,25 +46,24 @@ _BIG = 1e30
 _ACCUM_MODES = ("wboit", "count", "mboit_gen", "mboit_resolve")
 
 
-def _tf_eval_static(tf_color, tf_opacity, x):
+def _tf_channels_static(pts, nch, x):
     """Unrolled piecewise-linear TF (see transfer_function.tf_eval_points)."""
     xc = jnp.clip(x, 0.0, 1.0)
+    outs = [jnp.full(x.shape, float(pts[0][1 + c]), jnp.float32)
+            for c in range(nch)]
+    for k in range(len(pts) - 1):
+        p0, p1 = float(pts[k][0]), float(pts[k + 1][0])
+        seg = (xc >= p0) & (xc <= p1)
+        w = (xc - p0) / max(p1 - p0, 1e-9)
+        for c in range(nch):
+            v0, v1 = float(pts[k][1 + c]), float(pts[k + 1][1 + c])
+            outs[c] = jnp.where(seg, v0 + w * (v1 - v0), outs[c])
+    return outs
 
-    def channels(pts, nch):
-        outs = [jnp.full(x.shape, float(pts[0][1 + c]), jnp.float32)
-                for c in range(nch)]
-        for k in range(len(pts) - 1):
-            p0, p1 = float(pts[k][0]), float(pts[k + 1][0])
-            seg = (xc >= p0) & (xc <= p1)
-            w = (xc - p0) / max(p1 - p0, 1e-9)
-            for c in range(nch):
-                v0, v1 = float(pts[k][1 + c]), float(pts[k + 1][1 + c])
-                outs[c] = jnp.where(seg, v0 + w * (v1 - v0), outs[c])
-        return outs
 
-    rgb = channels(tf_color, 3)
-    a = channels(tf_opacity, 1)[0]
-    return rgb, a
+def _tf_eval_static(tf_color, tf_opacity, x):
+    return (_tf_channels_static(tf_color, 3, x),
+            _tf_channels_static(tf_opacity, 1, x)[0])
 
 
 def _mlab_kernel(
@@ -90,6 +89,7 @@ def _mlab_kernel(
     n_mom: int,  # MBOIT power-moment count (4 | 6 | 8)
     use_peel: bool,  # depth peeling: discard fragments at znd <= peel input
     no_overflow: bool,  # drop evicted fragments instead of MLAB-merging
+    deferred_shade: bool,  # store (attr, cosc, spec) features, shade in XLA
 ):
     # mboit_resolve receives the per-pixel moment images (pass-1 output) as
     # extra *inputs* ahead of the outputs: b0, n/2 odd, n/2 even moments.
@@ -348,6 +348,27 @@ def _mlab_kernel(
                         gc = two(scal(9)) * jnp.ones_like(attr)  # segment id
                         bc = jnp.zeros_like(attr)
                         ac = jnp.ones_like(attr)
+                    elif deferred_shade:
+                        # Shade-after-extract: store the shading FEATURES
+                        # (attr, cos1, cos2) premultiplied through the same
+                        # node algebra; TF color, the Phong cosine POWERS
+                        # (exp/log on the VPU — the kernel's only
+                        # transcendentals) and the depth cue run once per
+                        # extracted NODE in XLA (oit.shade_deferred_nodes)
+                        # instead of once per candidate fragment here.
+                        # Alpha stays exact in-kernel (ordering, overflow
+                        # merge, saturation gate all need it).
+                        alpha = _tf_channels_static(tf_opacity, 1, attr)[0]
+                        if alpha_from_rows:
+                            ac = jnp.clip(
+                                two(scal(11)) + two(scal(12)) * uax,
+                                0.0, 1.0,
+                            )
+                        else:
+                            ac = alpha * opacity_scale
+                        rc = attr
+                        gc = cos1
+                        bc = cos2_
                     else:
                         rgb, alpha = _tf_eval_static(tf_color, tf_opacity, attr)
                         shade_f = 0.1 + 0.9 * cosc
@@ -603,7 +624,7 @@ def _mlab_kernel(
     static_argnames=(
         "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
         "use_bands", "store_mode", "alpha_from_rows", "n_mom",
-        "no_overflow", "interpret",
+        "no_overflow", "deferred_shade", "interpret",
     ),
 )
 def rasterize_capsules_mlab(
@@ -623,6 +644,7 @@ def rasterize_capsules_mlab(
     moments: jnp.ndarray = None,  # [1 + n_mom, n_tiles, P] for mboit_resolve
     peel: jnp.ndarray = None,  # [n_tiles, P] znd threshold (depth peeling)
     no_overflow: bool = False,  # drop evicted fragments (exact peeling pass)
+    deferred_shade: bool = False,  # nodes carry (attr, cosc, spec) features
     interpret: bool = False,
 ):
     """MLAB-K transparency pass.
@@ -647,6 +669,8 @@ def rasterize_capsules_mlab(
     n_out = 5 * K
     if store_mode == "mboit_gen" and K != 2:
         raise ValueError("mboit_gen requires K=2 (moment channel layout)")
+    if deferred_shade and store_mode != "shade":
+        raise ValueError("deferred_shade only applies to store_mode='shade'")
 
     kernel = functools.partial(
         _mlab_kernel,
@@ -665,6 +689,7 @@ def rasterize_capsules_mlab(
         n_mom=n_mom,
         use_peel=peel is not None,
         no_overflow=no_overflow,
+        deferred_shade=deferred_shade,
     )
     extra_in = []
     extra_in_specs = []

@@ -371,8 +371,32 @@ def load_vtk_xml_grid(filename: str) -> GridData:
     return GridData(velocity, scalars, origin, spacing)
 
 
+def load_grib_grid(filename: str) -> GridData:
+    """GRIB vector fields (reference `Flow/Loader/GribLoader.cpp`, an
+    OPTIONAL dependency there too — gated on eccodes at build time).
+    This environment ships no eccodes/cfgrib; the loader is gated with a
+    clear error rather than silently mis-parsing."""
+    try:
+        import eccodes  # noqa: F401
+    except ImportError:
+        try:
+            import cfgrib  # noqa: F401
+        except ImportError:
+            raise ImportError(
+                "GRIB support needs the 'eccodes' (or 'cfgrib') package, "
+                "which is not installed; convert the file to NetCDF "
+                "(.nc) or VTK and load that instead (the reference "
+                "gates its GribLoader on ecCodes the same way)."
+            ) from None
+    raise NotImplementedError(
+        "eccodes found but GRIB decoding is not wired up in this build"
+    )
+
+
 def load_grid_file(filename: str) -> GridData:
     lower = filename.lower()
+    if lower.endswith((".grib", ".grb", ".grib2")):
+        return load_grib_grid(filename)
     if lower.endswith(".vtk"):
         return load_vtk_structured_grid(filename)
     if lower.endswith((".vti", ".vts")):

@@ -226,11 +226,18 @@ def render_tubes_mlab_sharded(
         params = params.at[13].set(band_settings.depth_cue_strength)
         params = params.at[14].set(opacity)
         interpret = jax.default_backend() == "cpu"
-        depths, rgb, alpha = rasterize_capsules_mlab(
+        depths, feat, alpha = rasterize_capsules_mlab(
             csr, params, band_settings.width, band_h,
             band_settings.tile_w, band_settings.tile_h, K,
             band_settings.tf_color, band_settings.tf_opacity,
+            deferred_shade=True,
             interpret=interpret,
+        )
+        from linevis_tpu.render.oit import shade_deferred_nodes
+
+        rgb = shade_deferred_nodes(
+            depths, feat, alpha, ab, dmin, dmax,
+            jnp.float32(band_settings.depth_cue_strength), band_settings,
         )
         T = jnp.ones_like(alpha[0])
         acc = jnp.zeros((3,) + alpha.shape[1:], jnp.float32)

@@ -37,6 +37,38 @@ from linevis_tpu.render.tube_raster import (
 __all__ = ["render_tubes_mlab", "render_tubes_mlab_image"]
 
 
+def shade_deferred_nodes(depths, feat, alpha, proj_ab, dmin, dmax, cue,
+                         settings, use_bands: bool = False):
+    """Shade-after-extract resolve: the kernel's K nodes carry
+    PREMULTIPLIED shading features (attr, cos1, cos2) — un-premultiply,
+    apply the transfer function, the Phong cosine powers (the pow ops
+    lower to exp/log on the VPU, so hoisting them here removes every
+    transcendental from the kernel's per-candidate loop) and the depth
+    cue once per extracted NODE (K*H*W work in XLA), then re-premultiply.
+    Exact for un-merged nodes; the overflow-merged node K-1 shades the
+    alpha-weighted average features (the merge itself is already an
+    approximation).  feat: [3, K, T, P]; depths/alpha: [K, T, P]."""
+    from linevis_tpu.render.transfer_function import tf_eval_points
+
+    inv_a = jnp.where(alpha > 1e-6, 1.0 / jnp.maximum(alpha, 1e-6), 0.0)
+    attr = feat[0] * inv_a
+    cos1 = jnp.maximum(feat[1] * inv_a, 1e-20)
+    cos2 = jnp.maximum(feat[2] * inv_a, 1e-20)
+    e = 1.0 if use_bands else 1.7
+    cosc = 0.3 * cos1 ** e + 0.7 * cos2 ** e
+    spec = 0.3 * cos1 ** 30.0
+    rgb, _ = tf_eval_points(settings.tf_color, settings.tf_opacity, attr)
+    shade_f = 0.1 + 0.9 * cosc
+    vz = proj_ab[1] / jnp.maximum(proj_ab[0] - depths, 1e-9)
+    fcue = jnp.clip(
+        (vz - dmin) / jnp.maximum(dmax - dmin, 1e-6), 0.0, 1.0
+    )
+    fcue = fcue * fcue * cue
+    col = (rgb * shade_f[None] + spec[None]) * (1.0 - fcue[None]) \
+        + 0.5 * fcue[None]
+    return col * alpha[None]
+
+
 @partial(jax.jit, static_argnames=("settings", "K", "opacity"))
 def render_tubes_mlab(
     scene: CapsuleScene,
@@ -72,12 +104,17 @@ def render_tubes_mlab(
     params = params.at[14].set(opacity)
 
     interpret = jax.default_backend() == "cpu"
-    depths, rgb, alpha = rasterize_capsules_mlab(
+    depths, feat, alpha = rasterize_capsules_mlab(
         csr, params, settings.width, settings.height,
         settings.tile_w, settings.tile_h, K,
         settings.tf_color, settings.tf_opacity,
         alpha_from_rows=seg_alpha is not None,
+        deferred_shade=True,
         interpret=interpret,
+    )
+    rgb = shade_deferred_nodes(
+        depths, feat, alpha, proj_ab, dmin, dmax,
+        jnp.float32(settings.depth_cue_strength), settings,
     )
 
     # Front-to-back composite of the K nodes (premultiplied colors).

@@ -43,6 +43,10 @@ class RtaoSettings:
     grid_resolution: int = 64
     max_ray_cells: int = 8  # cells sampled along each AO ray
     seed: int = 0
+    # AO denoiser chain (reference VulkanRayTracedAmbientOcclusion.cpp
+    # optional denoiser + Denoiser.hpp:62-99): "None" | "Spatial Hashing"
+    # | "EAW".
+    denoiser: str = "None"
 
 
 def _cosine_hemisphere(key, normal, num_samples):
@@ -142,6 +146,19 @@ def render_tubes_rtao(
         max_ray_cells=rtao.max_ray_cells, interpret=interpret,
     )
     ao = 1.0 - occluded.reshape(Srays, H, W).mean(axis=0)  # [H, W]
+
+    if rtao.denoiser == "Spatial Hashing":
+        # World-space hash-cell averaging of the noisy AO (the
+        # SpatialHashingDenoiser is the reference's AO-specific choice).
+        from linevis_tpu.render.denoiser import spatial_hash_denoise
+
+        den = spatial_hash_denoise(ao, pos, normal, camera_position)
+        ao = jnp.where(fg, den, ao)
+    elif rtao.denoiser == "EAW":
+        from linevis_tpu.render.denoiser import eaw_denoise
+
+        den = eaw_denoise(ao[None], position=pos, normal=normal)[0]
+        ao = jnp.where(fg, den, ao)
 
     # 3) Shade with AO modulation (Lighting.glsl AO variant).
     dn = d * jax.lax.rsqrt(jnp.sum(d * d, axis=0, keepdims=True))

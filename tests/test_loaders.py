@@ -372,3 +372,15 @@ def test_vtk_xml_grid_ascii_and_base64(tmp_path):
         np.testing.assert_allclose(g.scalars["mag"].reshape(-1), scal,
                                    atol=1e-5)
         np.testing.assert_allclose(g.spacing, [0.5, 0.5, 0.5])
+
+
+def test_grib_loader_gated():
+    """GRIB is dependency-gated with a clear message (reference gates its
+    GribLoader on ecCodes likewise)."""
+    import pytest
+
+    from linevis_tpu.loaders.grid_loader import load_grid_file
+
+    with pytest.raises((ImportError, NotImplementedError)) as ei:
+        load_grid_file("/tmp/some.grib2")
+    assert "eccodes" in str(ei.value) or "GRIB" in str(ei.value)

@@ -121,3 +121,52 @@ def test_registry_rtao_accumulates_and_resets():
     cam2 = dataclasses.replace(cam, position=(0.1, 0.1, 1.2))
     r.render(cam2)
     assert r._frame == 1  # reset on move
+
+
+def test_rtao_denoiser_variants():
+    """AO denoiser chain (reference RTAO optional denoiser): both
+    variants produce finite images; the spatially-hashed AO at 1 spp is
+    closer to a high-spp reference than the raw 1-spp render."""
+    import jax.numpy as jnp
+
+    from linevis_tpu.render.rtao import RtaoSettings, render_tubes_rtao
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    L = 9
+    pos = np.zeros((L, 2, 3), np.float32)
+    for i in range(L):
+        pos[i, 0] = (-0.4, 0.0, -0.2 + 0.05 * i)
+        pos[i, 1] = (0.4, 0.0, -0.2 + 0.05 * i)
+    mask = np.ones((L, 2), bool)
+    attrs = np.full((L, 2), 0.5, np.float32)
+    scene = build_capsule_scene(pos, mask, attrs, radius=0.02)
+    cam = Camera(position=(0.0, 0.6, 1.2), look_at_point=(0, 0, 0),
+                 width=64, height=48)
+    settings = RasterSettings(width=64, height=48, tile_w=16, tile_h=8,
+                              chunk=16, span_x=4, span_y=4)
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+
+    ref = np.asarray(render_tubes_rtao(
+        scene, vp, cp, ab, settings,
+        RtaoSettings(num_samples=32, seed=9, grid_resolution=16),
+        frame=0,
+    ))
+    raw = np.asarray(render_tubes_rtao(
+        scene, vp, cp, ab, settings,
+        RtaoSettings(num_samples=1, seed=3, grid_resolution=16),
+        frame=0,
+    ))
+    outs = {}
+    for name in ("Spatial Hashing", "EAW"):
+        img = np.asarray(render_tubes_rtao(
+            scene, vp, cp, ab, settings,
+            RtaoSettings(num_samples=1, seed=3, grid_resolution=16,
+                         denoiser=name), frame=0,
+        ))
+        assert np.isfinite(img).all()
+        outs[name] = img
+    mse_raw = float(((raw - ref) ** 2).mean())
+    mse_sh = float(((outs["Spatial Hashing"] - ref) ** 2).mean())
+    assert mse_sh < mse_raw, (mse_sh, mse_raw)
