@@ -196,12 +196,15 @@ def build_lbvh(aabb_min: jnp.ndarray, aabb_max: jnp.ndarray) -> Lbvh:
     )
 
 
-def _ray_aabb(o, inv_d, bmin, bmax, t_best):
+def _ray_aabb(o, inv_d, bmin, bmax, t_best, t_min=None):
     t0 = (bmin - o) * inv_d
     t1 = (bmax - o) * inv_d
     tn = jnp.max(jnp.minimum(t0, t1))
     tf = jnp.min(jnp.maximum(t0, t1))
-    return (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
+    hit = (tf >= jnp.maximum(tn, 0.0)) & (tn <= t_best)
+    if t_min is not None:
+        hit = hit & (tf >= t_min)
+    return hit
 
 
 @partial(jax.jit, static_argnames=("prim_hit_fn", "max_stack"))
@@ -211,13 +214,30 @@ def ray_query(
     directions: jnp.ndarray,  # [R, 3]
     prim_hit_fn=None,  # (prim_idx, o, d) -> t (inf on miss); None: AABB t
     max_stack: int = 64,
+    t_min: jnp.ndarray = None,  # [R] enumerate hits with (t, prim) >
+    prim_min: jnp.ndarray = None,  # [R] ... lexicographically (t_min, prim_min)
 ):
-    """Closest-hit traversal -> (t [R], prim [R], int32; -1 on miss)."""
-    n = bvh.leaf_prim.shape[0]
+    """Closest-hit traversal -> (t [R], prim [R], int32; -1 on miss).
 
-    def query_one(o, d):
+    With `t_min`/`prim_min` given, returns the closest hit STRICTLY
+    lexicographically after (t_min, prim_min): repeated queries from a
+    FIXED origin enumerate every surface along the ray in (t, prim) order
+    with no re-cast epsilon — coincident surfaces of different primitives
+    are enumerated too, which the transparent ray tracer needs for its
+    tie-window dedup (the reference's iterative re-cast loop,
+    TubeRayTracing.glsl:61-82, achieves this with a tMin offset instead).
+    `prim_hit_fn` is then called as (prim, o, d, t_min, prim_min) and must
+    itself honor the lexicographic lower bound among its surfaces.
+    """
+    n = bvh.leaf_prim.shape[0]
+    enumerate_mode = t_min is not None
+    if enumerate_mode and prim_min is None:
+        raise ValueError("t_min requires prim_min")
+
+    def query_one(o, d, *bounds):
         inv_d = jnp.where(jnp.abs(d) < 1e-12, 1e12 * jnp.sign(d + 1e-30),
                           1.0 / d)
+        tmin1 = bounds[0] if enumerate_mode else None
         stack = jnp.zeros((max_stack,), jnp.int32)
         state = (jnp.int32(1), stack.at[0].set(0), jnp.float32(jnp.inf),
                  jnp.int32(-1))
@@ -231,18 +251,28 @@ def ray_query(
             sp = sp - 1
             is_leaf = node >= (n - 1)
             hit_box = _ray_aabb(
-                o, inv_d, bvh.node_min[node], bvh.node_max[node], t_best
+                o, inv_d, bvh.node_min[node], bvh.node_max[node], t_best,
+                t_min=tmin1,
             )
 
             # Leaf: run the primitive test.
             prim = bvh.leaf_prim[jnp.clip(node - (n - 1), 0, n - 1)]
             if prim_hit_fn is not None:
-                t_leaf = prim_hit_fn(prim, o, d)
+                if enumerate_mode:
+                    t_leaf = prim_hit_fn(prim, o, d, bounds[0], bounds[1])
+                else:
+                    t_leaf = prim_hit_fn(prim, o, d)
             else:
                 t0 = (bvh.node_min[node] - o) * inv_d
                 t1 = (bvh.node_max[node] - o) * inv_d
                 t_leaf = jnp.maximum(jnp.max(jnp.minimum(t0, t1)), 0.0)
-            leaf_take = is_leaf & hit_box & (t_leaf < t_best)
+            closer = t_leaf < t_best
+            if enumerate_mode:
+                # Ties on t resolve to the smallest prim id (the matching
+                # upper-bound rule to the hit fn's (t, prim) lower bound).
+                closer = closer | ((t_leaf == t_best) & jnp.isfinite(t_leaf)
+                                   & (prim < best))
+            leaf_take = is_leaf & hit_box & closer
             t_best = jnp.where(leaf_take, t_leaf, t_best)
             best = jnp.where(leaf_take, prim, best)
 
@@ -260,6 +290,9 @@ def ray_query(
             return (sp, stack, t_best, best)
 
         _, _, t_best, best = jax.lax.while_loop(cond, body, state)
+        best = jnp.where(jnp.isfinite(t_best), best, -1)
         return t_best, best
 
+    if enumerate_mode:
+        return jax.vmap(query_one)(origins, directions, t_min, prim_min)
     return jax.vmap(query_one)(origins, directions)

@@ -287,12 +287,25 @@ class DepthComplexityRenderer(LineRenderer):
         return img
 
 
-class RtaoRenderer(LineRenderer):
-    """Reference RENDERING_MODE_VULKAN_RAY_TRACER: analytic capsule hits
-    (the reference's LSS geometry mode) shaded with screen-space RTAO and
-    per-frame sample accumulation (<=32 frames, 2 spp —
-    VulkanRayTracer.hpp:135-143). Stateful like the reference: the
-    accumulator resets on camera or scene changes."""
+def _halton(index: int, base: int) -> float:
+    """Low-discrepancy sequence for the jittered sampling offsets
+    (reference VulkanRayTracer.hpp:135-143 jittered accumulation)."""
+    f, r = 1.0, 0.0
+    while index > 0:
+        f /= base
+        r += f * (index % base)
+        index //= base
+    return r
+
+
+class VulkanRayTracerRenderer(LineRenderer):
+    """Reference RENDERING_MODE_VULKAN_RAY_TRACER (VulkanRayTracer.*):
+    analytic capsules (the LSS geometry mode) over the Karras LBVH with
+    the iterative re-cast transparency loop (TubeRayTracing.glsl:61-82)
+    or, with settings key `use_mlat`, the MLAT K-node payload
+    (MlatInsert.glsl, `num_nodes` nodes).  Per-frame jittered subpixel
+    sampling accumulated over <=32 frames; the accumulator resets on
+    camera or scene changes, like the reference."""
 
     name = "Vulkan Ray Tracer"
     MAX_ACCUM_FRAMES = 32
@@ -302,13 +315,104 @@ class RtaoRenderer(LineRenderer):
         self._accum = None
         self._frame = 0
         self._last_vp = None
+        self._bvh = None
+
+    def set_line_data(self, line_data: LineData) -> None:
+        super().set_line_data(line_data)
+        self._accum = None
+        self._frame = 0
+        self._bvh = None
+
+    def render(self, camera: Camera) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from linevis_tpu.render.ray_tracer import (
+            build_capsule_bvh,
+            render_tubes_mlat,
+            render_tubes_raytraced,
+        )
+        from linevis_tpu.render.tube_raster import _proj_constants
+
+        scene = self.line_data.get_capsule_scene()
+        vp_np = np.asarray(camera.view_projection_matrix())
+        if self._last_vp is None or not np.array_equal(self._last_vp, vp_np):
+            self._accum = None
+            self._frame = 0
+            self._last_vp = vp_np
+        if self._bvh is None:
+            self._bvh = build_capsule_bvh(scene)
+        # Frame 0 is unjittered (deterministic-sampling parity); later
+        # frames take Halton(2,3) subpixel offsets.
+        if self._frame == 0:
+            jit = jnp.zeros((2,), jnp.float32)
+        else:
+            jit = jnp.asarray(
+                [_halton(self._frame, 2) - 0.5, _halton(self._frame, 3) - 0.5],
+                jnp.float32,
+            )
+        common = dict(
+            view_proj=jnp.asarray(vp_np),
+            camera_position=jnp.asarray(
+                np.asarray(camera.position, np.float32)
+            ),
+            proj_ab=jnp.asarray(_proj_constants(camera)),
+            settings=self._raster_settings(camera),
+            opacity=self.opacity,
+            bvh=self._bvh,
+            jitter=jit,
+        )
+        if self.settings.get_bool("use_mlat", False):
+            img = np.asarray(render_tubes_mlat(
+                scene, K=self.settings.get_int("num_nodes", 8), **common
+            ))
+        else:
+            img = np.asarray(render_tubes_raytraced(
+                scene,
+                max_depth_complexity=self.settings.get_int(
+                    "max_depth_complexity", 32
+                ),
+                **common,
+            ))
+        if self._accum is None:
+            self._accum = img
+        else:
+            n = min(self._frame, self.MAX_ACCUM_FRAMES - 1)
+            self._accum = (self._accum * n + img) / (n + 1)
+        self._frame += 1
+        return np.moveaxis(self._accum, 0, -1)
+
+
+class RtaoRenderer(LineRenderer):
+    """Ray-traced ambient occlusion shading mode: analytic capsule hits
+    (the reference's LSS geometry mode) shaded with screen-space RTAO and
+    per-frame sample accumulation (<=32 frames, 2 spp —
+    VulkanRayTracedAmbientOcclusion.cpp:743). Stateful like the
+    reference: the accumulator resets on camera or scene changes.
+
+    Settings key `denoiser` = "SVGF (Temporal)" switches the static-camera
+    accumulator to full temporal SVGF (history reprojection with motion
+    vectors + variance-guided filtering, SVGF.hpp:46,92) — noise keeps
+    converging under a MOVING camera."""
+
+    name = "RTAO"
+    MAX_ACCUM_FRAMES = 32
+
+    def __init__(self, settings=None):
+        super().__init__(settings)
+        self._accum = None
+        self._frame = 0
+        self._last_vp = None
         self._grid = None
+        self._svgf_state = None
+        self._prev_vp = None
 
     def set_line_data(self, line_data: LineData) -> None:
         super().set_line_data(line_data)
         self._accum = None
         self._frame = 0
         self._grid = None
+        self._svgf_state = None
+        self._prev_vp = None
 
     def render(self, camera: Camera) -> np.ndarray:
         import jax.numpy as jnp
@@ -322,9 +426,13 @@ class RtaoRenderer(LineRenderer):
 
         scene = self.line_data.get_capsule_scene()
         vp_np = np.asarray(camera.view_projection_matrix())
+        use_temporal = (
+            self.settings.get_value("denoiser", "") == "SVGF (Temporal)"
+        )
         if self._last_vp is None or not np.array_equal(self._last_vp, vp_np):
             self._accum = None
-            self._frame = 0
+            if not use_temporal:
+                self._frame = 0  # temporal SVGF survives camera motion
             self._last_vp = vp_np
         rtao = RtaoSettings()
         if self._grid is None:
@@ -332,13 +440,35 @@ class RtaoRenderer(LineRenderer):
                 scene.a, scene.ba, scene.radius, scene.mask,
                 resolution=rtao.grid_resolution,
             )
-        img = np.asarray(render_tubes_rtao(
+        common = (
             scene,
             jnp.asarray(vp_np),
             jnp.asarray(np.asarray(camera.position, np.float32)),
             jnp.asarray(_proj_constants(camera)),
             self._raster_settings(camera),
-            rtao, frame=self._frame, grid=self._grid,
+        )
+        if use_temporal:
+            from linevis_tpu.render.deferred import motion_vectors
+            from linevis_tpu.render.denoiser import svgf_temporal_denoise
+
+            img, (pos, normal, fg) = render_tubes_rtao(
+                *common, rtao, frame=self._frame, grid=self._grid,
+                return_features=True,
+            )
+            if self._prev_vp is None:
+                motion = jnp.zeros((2,) + fg.shape, jnp.float32)
+            else:
+                motion = motion_vectors(pos, fg, jnp.asarray(self._prev_vp))
+            out, self._svgf_state = svgf_temporal_denoise(
+                img[:3], motion, pos, self._svgf_state, normal=normal,
+            )
+            self._prev_vp = vp_np
+            self._frame += 1
+            res = np.asarray(jnp.concatenate([out, img[3:4]], axis=0))
+            return np.moveaxis(res, 0, -1)
+
+        img = np.asarray(render_tubes_rtao(
+            *common, rtao, frame=self._frame, grid=self._grid,
         ))
         if self._accum is None:
             self._accum = img
@@ -406,7 +536,8 @@ register_renderer("Atomic Loop 64-Bit", AtomicLoop64Renderer)
 register_renderer("MLAB (Buckets)", MLABBucketRenderer)
 register_renderer("Depth Complexity", DepthComplexityRenderer)
 register_renderer("Opacity Optimization", OpacityOptimizationRendererMode)
-register_renderer("Vulkan Ray Tracer", RtaoRenderer)
+register_renderer("Vulkan Ray Tracer", VulkanRayTracerRenderer)
+register_renderer("RTAO", RtaoRenderer)
 
 
 def _register_scattering_modes():
