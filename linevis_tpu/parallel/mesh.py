@@ -9,9 +9,13 @@ compared to per-pixel work — and the final frame is formed by the sharded
 output layout itself (no cross-chip fragment exchange is needed because
 binning assigns triangles to every band they overlap).
 
-RTAO / path tracing shard the same way over rays with a `psum` over sample
-accumulators; opacity optimization reduces per-segment importance with a
-`psum` (see render/opacity_optimization.py).
+Two more axes shard by RAYS / SEGMENTS with real collectives:
+- `render_tubes_rtao_sharded`: every chip traces its own AO sample set
+  (per-chip RNG fold) and the occlusion accumulator is `psum`-averaged
+  (render/rtao.py psum_axis).
+- `opacity_solve_sharded`: every chip gathers importance over one band of
+  the half-res frame and the per-segment min/visibility reductions are
+  cross-chip `pmin`/`pmax` (render/opacity_optimization.py band_axis).
 """
 
 from __future__ import annotations
@@ -37,7 +41,13 @@ from linevis_tpu.render.pipeline import (
     tube_vertex_stage,
 )
 
-__all__ = ["make_device_mesh", "render_opaque_sharded", "render_tubes_mlab_sharded"]
+__all__ = [
+    "make_device_mesh",
+    "render_opaque_sharded",
+    "render_tubes_mlab_sharded",
+    "render_tubes_rtao_sharded",
+    "opacity_solve_sharded",
+]
 
 
 def make_device_mesh(n_devices: Optional[int] = None, axis: str = "y") -> Mesh:
@@ -265,3 +275,81 @@ def render_tubes_mlab_sharded(
         check_vma=False,
     )
     return shard_fn(scene, view_proj, camera_position, proj_ab)
+
+
+def render_tubes_rtao_sharded(
+    scene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+    device_mesh: Mesh,
+    rtao=None,
+    grid=None,
+) -> jnp.ndarray:
+    """Ray-sharded RTAO: n chips x rtao.num_samples AO rays, accumulator
+    psum-averaged across the mesh -> [4, H, W] (replicated).  The
+    G-buffer raster is replicated per chip (cheap next to the rays)."""
+    from linevis_tpu.kernels.ao_grid import build_segment_grid
+    from linevis_tpu.render.rtao import RtaoSettings, render_tubes_rtao
+
+    rtao = rtao or RtaoSettings()
+    axis = device_mesh.axis_names[0]
+    if grid is None:
+        grid = build_segment_grid(
+            scene.a, scene.ba, scene.radius, scene.mask,
+            resolution=rtao.grid_resolution,
+        )
+
+    def body(scene, vp, cp, ab, grid):
+        return render_tubes_rtao(
+            scene, vp, cp, ab, settings, rtao, grid=grid, psum_axis=axis
+        )
+
+    shard_fn = jax.shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shard_fn(scene, view_proj, camera_position, proj_ab, grid)
+
+
+def opacity_solve_sharded(
+    scene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    prev_vertex_opacity: jnp.ndarray,
+    settings: RasterSettings,
+    oo,
+    num_lines: int,
+    pts_per_line: int,
+    device_mesh: Mesh,
+) -> jnp.ndarray:
+    """Opacity-optimization steps 1-5 with the importance gather sharded
+    image-space and the per-segment reductions as cross-chip pmin/pmax
+    -> per-vertex opacities [L, P] (replicated; feed _final_render or
+    render_tubes_mlab_sharded with the alpha rows)."""
+    from linevis_tpu.render.opacity_optimization import _opacity_solve
+
+    axis = device_mesh.axis_names[0]
+    n = device_mesh.devices.size
+
+    def body(scene, vp, cp, ab, prev):
+        return _opacity_solve(
+            scene, vp, cp, ab, prev, settings, oo, num_lines, pts_per_line,
+            band_axis=axis, n_bands=n,
+        )
+
+    shard_fn = jax.shard_map(
+        body,
+        mesh=device_mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shard_fn(
+        scene, view_proj, camera_position, proj_ab, prev_vertex_opacity
+    )

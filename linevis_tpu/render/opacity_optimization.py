@@ -60,7 +60,11 @@ class OpacityOptimizationSettings:
     render_k: int = 8
 
 
-@partial(jax.jit, static_argnames=("settings", "oo", "num_lines", "pts_per_line"))
+@partial(
+    jax.jit,
+    static_argnames=("settings", "oo", "num_lines", "pts_per_line",
+                     "band_axis", "n_bands"),
+)
 def _opacity_solve(
     scene: CapsuleScene,
     view_proj,
@@ -71,15 +75,35 @@ def _opacity_solve(
     oo: OpacityOptimizationSettings,
     num_lines: int,
     pts_per_line: int,
+    band_axis: str = None,  # inside shard_map: this chip gathers one band
+    n_bands: int = 1,
 ):
-    """Steps 1-5: importance gather -> smoothed per-vertex opacities."""
+    """Steps 1-5: importance gather -> smoothed per-vertex opacities.
+
+    With `band_axis` (under shard_map), each chip gathers importance over
+    its own horizontal band of the half-res frame, and the per-segment
+    min/visibility reductions become cross-chip `pmin`/`pmax` collectives
+    — per-segment reduction sharding (SURVEY §2.10; the atomicMin of
+    OpacityOptimizationRenderer.cpp becomes a deterministic mesh-wide
+    min).  The smoothing chain then runs replicated (it is [L, P]-sized,
+    trivial next to the gather)."""
     scale = oo.opacity_resolution_scale
     w2 = max(int(settings.width * scale) // 32 * 32, 32)
     h2 = max(int(settings.height * scale) // 16 * 16, 16)
-    s2 = dataclasses.replace(settings, width=w2, height=h2)
-    csr, params, _ = prepare_capsule_frame(
-        scene, view_proj, camera_position, proj_ab, s2
-    )
+    if band_axis is not None:
+        band_h = h2 // n_bands
+        y_off = (jax.lax.axis_index(band_axis) * band_h).astype(jnp.float32)
+        s2 = dataclasses.replace(settings, width=w2, height=band_h)
+        csr, params, _ = prepare_capsule_frame(
+            scene, view_proj, camera_position, proj_ab, s2,
+            y_offset=y_off, full_height=h2,
+        )
+        w2, h2 = w2, band_h
+    else:
+        s2 = dataclasses.replace(settings, width=w2, height=h2)
+        csr, params, _ = prepare_capsule_frame(
+            scene, view_proj, camera_position, proj_ab, s2
+        )
     interpret = jax.default_backend() == "cpu"
     K = oo.gather_k
     depths, vals, alpha = rasterize_capsules_mlab(
@@ -119,6 +143,10 @@ def _opacity_solve(
     seg_visible = jnp.zeros((S,), jnp.float32).at[ids_flat].max(
         jnp.where(v_flat, 1.0, 0.0), mode="drop"
     )
+    if band_axis is not None:
+        # Cross-chip per-segment reduction: min opacity / any-visible.
+        seg_opacity = jax.lax.pmin(seg_opacity, band_axis)
+        seg_visible = jax.lax.pmax(seg_visible, band_axis)
 
     # Laplacian smoothing along each line's segment chain.
     L, Pm1 = num_lines, pts_per_line - 1

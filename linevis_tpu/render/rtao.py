@@ -76,7 +76,11 @@ def _cosine_hemisphere(key, normal, num_samples):
     return d  # [S, 3, H, W]
 
 
-@partial(jax.jit, static_argnames=("settings", "rtao", "frame"))
+@partial(
+    jax.jit,
+    static_argnames=("settings", "rtao", "frame", "return_features",
+                     "psum_axis"),
+)
 def render_tubes_rtao(
     scene: CapsuleScene,
     view_proj: jnp.ndarray,
@@ -86,8 +90,21 @@ def render_tubes_rtao(
     rtao: RtaoSettings = RtaoSettings(),
     frame: int = 0,
     grid=None,  # prebuilt SegmentGrid (camera-independent; hoist per scene)
+    return_features: bool = False,
+    psum_axis: str = None,  # inside shard_map: psum the AO accumulator
 ) -> jnp.ndarray:
-    """RTAO-shaded tubes -> [4, H, W] linear RGBA."""
+    """RTAO-shaded tubes -> [4, H, W] linear RGBA.
+
+    With `return_features`, also returns (position [3, H, W],
+    normal [3, H, W], foreground [H, W]) — the G-buffer feature maps the
+    temporal SVGF denoiser consumes (motion vectors derive from position
+    + the previous view-projection, render/deferred.motion_vectors).
+
+    With `psum_axis` (called under shard_map / a named mesh axis), each
+    chip traces its own `num_samples` AO rays from a per-chip RNG fold
+    and the occlusion accumulator is `psum`-averaged across the axis —
+    ray-sharded multi-chip RTAO (parallel/mesh.render_tubes_rtao_sharded);
+    the G-buffer raster is replicated (it is cheap next to the rays)."""
     interpret = jax.default_backend() == "cpu"
     W, H = settings.width, settings.height
 
@@ -131,6 +148,8 @@ def render_tubes_rtao(
             resolution=rtao.grid_resolution,
         )
     key = jax.random.PRNGKey(rtao.seed + frame)
+    if psum_axis is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(psum_axis))
     dirs = _cosine_hemisphere(key, normal, rtao.num_samples)  # [S, 3, H, W]
     Srays = rtao.num_samples
     eps = 2.0 * scene.radius
@@ -145,7 +164,12 @@ def render_tubes_rtao(
         o_flat, d_flat, t_max, valid, grid,
         max_ray_cells=rtao.max_ray_cells, interpret=interpret,
     )
-    ao = 1.0 - occluded.reshape(Srays, H, W).mean(axis=0)  # [H, W]
+    occ_mean = occluded.reshape(Srays, H, W).mean(axis=0)
+    if psum_axis is not None:
+        # Sample-accumulator reduction over the device mesh: n chips x
+        # num_samples rays average into one AO estimate.
+        occ_mean = jax.lax.pmean(occ_mean, psum_axis)
+    ao = 1.0 - occ_mean  # [H, W]
 
     if rtao.denoiser == "Spatial Hashing":
         # World-space hash-cell averaging of the noisy AO (the
@@ -180,7 +204,10 @@ def render_tubes_rtao(
     bg = jnp.asarray(settings.background_color, jnp.float32)
     out_rgb = jnp.where(fg[None], color, bg[:3, None, None])
     out_a = jnp.where(fg, alpha, bg[3])
-    return jnp.concatenate([out_rgb, out_a[None]], axis=0)
+    img = jnp.concatenate([out_rgb, out_a[None]], axis=0)
+    if return_features:
+        return img, (pos, normal, fg)
+    return img
 
 
 def render_tubes_rtao_image(
