@@ -22,12 +22,19 @@ adds, which XLA fuses into a single pass over HBM.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["eaw_denoise", "svgf_denoise", "spatial_hash_denoise"]
+__all__ = [
+    "eaw_denoise",
+    "svgf_denoise",
+    "svgf_temporal_denoise",
+    "SvgfTemporalState",
+    "spatial_hash_denoise",
+]
 
 
 def _shift2d(img, dy, dx):
@@ -101,6 +108,21 @@ def _luminance(c):
     return 0.2126 * c[0] + 0.7152 * c[1] + 0.0722 * c[2]
 
 
+def _spatial_variance(color):
+    """3x3 luminance moment variance estimate (spatial fallback)."""
+    lum = _luminance(color)
+    m1 = jnp.zeros_like(lum)
+    m2 = jnp.zeros_like(lum)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            v = _shift2d(lum, dy, dx)
+            m1 = m1 + v
+            m2 = m2 + v * v
+    m1 = m1 / 9.0
+    m2 = m2 / 9.0
+    return jnp.maximum(m2 - m1 * m1, 0.0)
+
+
 @partial(
     jax.jit,
     static_argnames=("num_iterations", "phi_color", "phi_normal"),
@@ -112,22 +134,13 @@ def svgf_denoise(
     num_iterations: int = 4,
     phi_color: float = 10.0,
     phi_normal: float = 128.0,
+    variance: jnp.ndarray = None,  # [H, W] temporally integrated variance
 ) -> jnp.ndarray:
-    """Spatial SVGF: 3x3 luminance variance estimate; the color
-    edge-stopping weight is normalized by the local std-dev (Schied et al.
-    2017 eq. 4), filtered with the same à-trous schedule."""
-    lum = _luminance(color)
-    # 3x3 moments
-    m1 = jnp.zeros_like(lum)
-    m2 = jnp.zeros_like(lum)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            v = _shift2d(lum, dy, dx)
-            m1 = m1 + v
-            m2 = m2 + v * v
-    m1 = m1 / 9.0
-    m2 = m2 / 9.0
-    var = jnp.maximum(m2 - m1 * m1, 0.0)
+    """Spatial SVGF: luminance-variance-normalized color edge-stopping
+    weight (Schied et al. 2017 eq. 4), filtered with the à-trous
+    schedule.  `variance` (from svgf_temporal_denoise's reprojected
+    moments) replaces the spatial 3x3 estimate when given."""
+    var = _spatial_variance(color) if variance is None else variance
 
     out = color
     step = 1
@@ -135,8 +148,8 @@ def svgf_denoise(
         sigma = jnp.sqrt(var) + 1e-4
         acc = jnp.zeros_like(out)
         acc_v = jnp.zeros_like(var)
-        acc_w = jnp.zeros_like(lum)
         lum_c = _luminance(out)
+        acc_w = jnp.zeros_like(lum_c)
         for i in range(25):
             x = (i % 5) - 2
             y = (i // 5) - 2
@@ -159,6 +172,130 @@ def svgf_denoise(
         var = acc_v / jnp.maximum(acc_w, 1e-8) ** 2
         step *= 2
     return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SvgfTemporalState:
+    """Per-pixel history carried between frames (SVGF.hpp:46,92: color +
+    moments history textures, history length, and the previous frame's
+    geometry for the reprojection validity test)."""
+
+    color: jnp.ndarray  # [3, H, W] temporally integrated color
+    moments: jnp.ndarray  # [2, H, W] integrated luminance moments
+    length: jnp.ndarray  # [H, W] history length
+    position: jnp.ndarray  # [3, H, W] world positions of the prev frame
+
+
+def _bilinear(img, ys, xs):
+    """Sample [C, H, W] at float (ys, xs) with edge clamp."""
+    H, W = img.shape[-2], img.shape[-1]
+    y0 = jnp.clip(jnp.floor(ys), 0, H - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, W - 1)
+    fy = jnp.clip(ys - y0, 0.0, 1.0)
+    fx = jnp.clip(xs - x0, 0.0, 1.0)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    return (
+        img[..., y0i, x0i] * ((1 - fy) * (1 - fx))
+        + img[..., y0i, x1i] * ((1 - fy) * fx)
+        + img[..., y1i, x0i] * (fy * (1 - fx))
+        + img[..., y1i, x1i] * (fy * fx)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iterations", "phi_color", "phi_normal",
+                     "alpha", "moments_alpha", "position_tolerance"),
+)
+def svgf_temporal_denoise(
+    color: jnp.ndarray,  # [3, H, W] THIS frame's noisy color
+    motion: jnp.ndarray,  # [2, H, W] screen motion in px (+x right/+y down)
+    position: jnp.ndarray,  # [3, H, W] world positions (validity + filter)
+    state: SvgfTemporalState = None,  # None on the first frame / reset
+    normal: jnp.ndarray = None,
+    num_iterations: int = 4,
+    phi_color: float = 10.0,
+    phi_normal: float = 128.0,
+    alpha: float = 0.2,
+    moments_alpha: float = 0.2,
+    position_tolerance: float = 0.01,
+):
+    """Full SVGF (Schied et al. 2017; reference SVGF.hpp:46,92 — the
+    always-temporal variant with motion textures):
+
+    1. reproject the history color/moments at (pixel - motion) with
+       bilinear taps;
+    2. validate by world-position consistency (the reference tests
+       depth + normal; positions subsume depth for our G-buffers) —
+       disoccluded pixels restart at history length 1;
+    3. exponentially integrate color and luminance moments
+       (alpha floor 0.2, or 1/len while the history is shorter than 5);
+    4. variance = integrated m2 - m1^2, with the spatial 3x3 fallback
+       for short histories (< 4 frames, as in the paper);
+    5. à-trous filter the integrated color with the variance-scaled
+       edge-stopping weights (svgf_denoise).
+
+    Returns (filtered [3, H, W], new_state).  Pass the returned state to
+    the next frame; on camera cuts pass state=None.
+    """
+    H, W = color.shape[-2], color.shape[-1]
+    lum = _luminance(color)
+    cur_moments = jnp.stack([lum, lum * lum], axis=0)
+
+    if state is None:
+        new_state = SvgfTemporalState(
+            color=color, moments=cur_moments,
+            length=jnp.ones((H, W), jnp.float32), position=position,
+        )
+        out = svgf_denoise(
+            color, position=position, normal=normal,
+            num_iterations=num_iterations, phi_color=phi_color,
+            phi_normal=phi_normal,
+        )
+        return out, new_state
+
+    ys = jnp.arange(H, dtype=jnp.float32)[:, None] - motion[1]
+    xs = jnp.arange(W, dtype=jnp.float32)[None, :] - motion[0]
+    in_bounds = (ys >= 0) & (ys <= H - 1) & (xs >= 0) & (xs <= W - 1)
+    hist_color = _bilinear(state.color, ys, xs)
+    hist_moments = _bilinear(state.moments, ys, xs)
+    hist_length = _bilinear(state.length[None], ys, xs)[0]
+    hist_pos = _bilinear(state.position, ys, xs)
+
+    # Geometry consistency: the reprojected history must belong to the
+    # same surface (disocclusion test, SVGF sec. 4.1; absolute world
+    # distance — scenes are normalized to the unit box).
+    dpos = jnp.linalg.norm(hist_pos - position, axis=0)
+    valid = in_bounds & (dpos < position_tolerance)
+
+    length = jnp.where(valid, hist_length + 1.0, 1.0)
+    a_c = jnp.maximum(alpha, 1.0 / length)
+    a_m = jnp.maximum(moments_alpha, 1.0 / length)
+    integrated = jnp.where(
+        valid[None], hist_color * (1 - a_c)[None] + color * a_c[None], color
+    )
+    moments = jnp.where(
+        valid[None],
+        hist_moments * (1 - a_m)[None] + cur_moments * a_m[None],
+        cur_moments,
+    )
+    var_t = jnp.maximum(moments[1] - moments[0] * moments[0], 0.0)
+    # Short history -> spatial variance estimate (paper sec. 4.2).
+    var = jnp.where(length < 4.0, _spatial_variance(integrated), var_t)
+
+    out = svgf_denoise(
+        integrated, position=position, normal=normal,
+        num_iterations=num_iterations, phi_color=phi_color,
+        phi_normal=phi_normal, variance=var,
+    )
+    new_state = SvgfTemporalState(
+        color=integrated, moments=moments, length=length, position=position
+    )
+    return out, new_state
 
 
 def _wang_hash(x):
