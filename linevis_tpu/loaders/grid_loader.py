@@ -24,7 +24,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 __all__ = ["GridData", "load_vtk_structured_grid", "load_dat_raw_grid",
-           "load_grid_file"]
+           "load_netcdf_grid", "load_grid_file"]
 
 
 @dataclasses.dataclass
@@ -371,6 +371,162 @@ def load_vtk_xml_grid(filename: str) -> GridData:
     return GridData(velocity, scalars, origin, spacing)
 
 
+def _netcdf_open_variables(filename: str):
+    """-> (vars {name: ndarray}, dims {name: dim-name tuple},
+    attrs {name: {attr: str}}).  NetCDF classic via scipy, NetCDF-4
+    (HDF5 container) via h5py — same split as loaders/netcdf_lines.py."""
+    try:
+        from scipy.io import netcdf_file
+
+        f = netcdf_file(filename, "r", mmap=False)
+        try:
+            out, dims, attrs = {}, {}, {}
+            for name, var in f.variables.items():
+                out[name] = np.asarray(var[:])
+                dims[name] = tuple(var.dimensions)
+                a = {}
+                for key in ("standard_name",):
+                    val = getattr(var, key, None)
+                    if isinstance(val, bytes):
+                        val = val.decode()
+                    if val:
+                        a[key] = val
+                attrs[name] = a
+            return out, dims, attrs
+        finally:
+            f.close()
+    except Exception:
+        pass
+
+    import h5py
+
+    out, dims, attrs = {}, {}, {}
+    with h5py.File(filename, "r") as f:
+        for name in f.keys():
+            ds = f[name]
+            if not hasattr(ds, "shape"):
+                continue
+            out[name] = np.asarray(ds)
+            dn = []
+            try:
+                for dim in ds.dims:
+                    labels = list(dim.keys())
+                    dn.append(labels[0] if labels else "")
+            except Exception:
+                dn = [""] * out[name].ndim
+            dims[name] = tuple(dn)
+            a = {}
+            val = ds.attrs.get("standard_name")
+            if isinstance(val, bytes):
+                val = val.decode()
+            if val:
+                a["standard_name"] = val
+            attrs[name] = a
+    return out, dims, attrs
+
+
+def load_netcdf_grid(
+    filename: str,
+    time: int = 0,
+    scale: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+) -> GridData:
+    """NetCDF vector-field grids for the streamline tracer (reference
+    `src/LineData/Flow/Loader/NetCdfLoader.cpp:113-360`):
+
+    - wind components from variables u/v/w or U/V/W;
+    - 3-D (z, y, x) fields, or 4-D (time, z, y, x) with the `time` slice
+      selected (GridDataSetMetaData.time);
+    - grid coordinates from 1-D variables named like the dimensions
+      (z falls back to `vcoord`, COSMO style), else unit index spacing;
+    - lat/lon grids keep unit spacing (isLatLonData), regular grids scale
+      per-axis spacing by coordinate deltas, everything normalized so the
+      largest axis spans [0, 1] (cellStep = 1 / maxDimension);
+    - every further float variable with the same dimensionality becomes a
+      named scalar field (display name from `standard_name`).
+    """
+    variables, dims, attrs = _netcdf_open_variables(filename)
+
+    comp_names = None
+    for cand in (("u", "v", "w"), ("U", "V", "W")):
+        if all(c in variables for c in cand):
+            comp_names = cand
+            break
+    if comp_names is None:
+        raise ValueError(
+            f"{filename}: no u/v/w (or U/V/W) wind components found"
+        )
+    u = variables[comp_names[0]]
+    v = variables[comp_names[1]]
+    w = variables[comp_names[2]]
+    ndims = u.ndim
+    if ndims == 4:
+        u, v, w = u[time], v[time], w[time]
+        dim_zyx = dims[comp_names[0]][1:]
+    elif ndims == 3:
+        dim_zyx = dims[comp_names[0]]
+    else:
+        raise ValueError(
+            f"{filename}: wind components must be 3-D or 4-D, got {ndims}-D"
+        )
+    nz, ny, nx = u.shape
+
+    def coords_for(dim_name, length, fallback=None):
+        if dim_name and dim_name in variables and \
+                variables[dim_name].ndim == 1:
+            return np.asarray(variables[dim_name], np.float64)
+        if fallback and fallback in variables and \
+                variables[fallback].ndim == 1:
+            return np.asarray(variables[fallback], np.float64)
+        return np.arange(length, dtype=np.float64)
+
+    z_c = coords_for(dim_zyx[0], nz, fallback="vcoord")
+    y_c = coords_for(dim_zyx[1], ny)
+    x_c = coords_for(dim_zyx[2], nx)
+    is_lat_lon = any(
+        ("lat" in (d or "")) or ("lon" in (d or "")) for d in dim_zyx[1:]
+    )
+
+    d_coords = np.ones(3)
+    if not is_lat_lon:
+        for i, (c, n) in enumerate(((x_c, nx), (y_c, ny), (z_c, nz))):
+            if n > 1 and c.shape[0] >= n:
+                d_coords[i] = (c[n - 1] - c[0]) / float(n - 1)
+    max_delta = max(d_coords.max(), 1e-12)
+    max_dim = float(max(nx - 1, ny - 1, nz - 1, 1))
+    cell_step = 1.0 / max_dim
+    spacing = np.asarray(
+        [cell_step * scale[i] * d_coords[i] / max_delta for i in range(3)],
+        np.float32,
+    )
+
+    velocity = np.stack(
+        [u.astype(np.float32), v.astype(np.float32), w.astype(np.float32)],
+        axis=-1,
+    )
+    scalars: Dict[str, np.ndarray] = {
+        comp_names[0]: velocity[..., 0],
+        comp_names[1]: velocity[..., 1],
+        comp_names[2]: velocity[..., 2],
+    }
+    for name, data in variables.items():
+        if name in comp_names or data.dtype.kind != "f":
+            continue
+        if data.ndim != ndims:
+            continue
+        field = data[time] if ndims == 4 else data
+        if field.shape != (nz, ny, nx):
+            continue
+        display = attrs.get(name, {}).get("standard_name", name)
+        scalars[display] = field.astype(np.float32)
+
+    return GridData(
+        velocity=velocity,
+        scalars=scalars,
+        origin=np.zeros(3, np.float32),
+        spacing=spacing,
+    )
+
+
 def load_grib_grid(filename: str) -> GridData:
     """GRIB vector fields (reference `Flow/Loader/GribLoader.cpp`, an
     OPTIONAL dependency there too — gated on eccodes at build time).
@@ -409,4 +565,6 @@ def load_grid_file(filename: str) -> GridData:
         return load_field_file_grid(filename)
     if lower.endswith(".bin"):
         return load_rbc_bin_grid(filename)
+    if lower.endswith((".nc", ".nc4", ".cdf")):
+        return load_netcdf_grid(filename)
     raise ValueError(f"Unknown grid file extension: {filename}")

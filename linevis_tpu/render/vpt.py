@@ -137,8 +137,14 @@ def vpt_trace_rays(
     max_events: int = 512,
     interpolation: str = "Trilinear",
     super_voxel_size: int = 8,
+    env_map: jnp.ndarray = None,  # [He, We, 3] equirectangular radiance
+    env_intensity: float = 1.0,
 ):
-    """-> (radiance [N, 3], first_scatter_pos [N, 3], first_has [N])."""
+    """-> (radiance [N, 3], first_scatter_pos [N, 3], first_has [N]).
+
+    With `env_map`, escaping rays sample the environment map scaled by
+    `env_intensity` (VolumetricPathTracingPass.hpp:169-174) instead of
+    the procedural sky + sun."""
     from linevis_tpu.scene.sparse_grid import SparseGrid
 
     b_min_np, b_max_np = grid_box(grid.shape)
@@ -157,17 +163,26 @@ def vpt_trace_rays(
     ratio = mode == "Ratio Tracking"
     decomposition = mode == "Decomposition Tracking"
 
+    if env_map is None:
+        def bg_fn(w):
+            return sample_skybox(w) + sample_light(w, sun_dir, sun_ic)
+    else:
+        from linevis_tpu.render.env_map import sample_env_map
+
+        def bg_fn(w):
+            return sample_env_map(env_map, w, env_intensity)
+
     majorant = (jnp.max(extinction) if spectral else extinction[0])
     abs_albedo = 1.0 - albedo
     if decomposition:
         return _decomposition_trace(
             key, gridf, grid, origins, directions, extinction, albedo,
-            sun_dir, sun_ic, phase_g, max_events, b_min, b_max, extent,
+            bg_fn, phase_g, max_events, b_min, b_max, extent,
         )
     if mode == "Residual Ratio Tracking":
         return _residual_ratio_trace(
             key, grid, origins, directions, extinction, albedo,
-            sun_dir, sun_ic, phase_g, super_voxel_size,
+            bg_fn, phase_g, super_voxel_size,
         )
 
     def trace_one(key, x0, w0):
@@ -254,7 +269,7 @@ def vpt_trace_rays(
             jax.lax.scan(step, init, keys)
         )
         weights = jnp.minimum(weights, 1e5)
-        bg = sample_skybox(wf) + sample_light(wf, sun_dir, sun_ic)
+        bg = bg_fn(wf)
         radiance = jnp.where(absorbed, 0.0, weights * bg)
         return radiance, first_x, first_has
 
@@ -263,7 +278,7 @@ def vpt_trace_rays(
 
 
 def _residual_ratio_trace(
-    key, grid, origins, directions, extinction, albedo, sun_dir, sun_ic,
+    key, grid, origins, directions, extinction, albedo, bg_fn,
     phase_g, super_voxel_size,
 ):
     """Residual ratio tracking VPT mode
@@ -296,9 +311,7 @@ def _residual_ratio_trace(
             stop = (xi > r_wsum) | (it >= max_iterations)
             # Pass-through contribution of this bounce direction
             # (glsl:219,237): sky+sun through the whole volume.
-            acc_new = acc + T_new * (
-                sample_skybox(w) + sample_light(w, sun_dir, sun_ic)
-            )
+            acc_new = acc + T_new * bg_fn(w)
             x_scat = x_entry + w * r_dist
             record = ~done & ~stop & ~first_has
             first_x = jnp.where(record, x_scat, first_x)
@@ -327,7 +340,7 @@ def _residual_ratio_trace(
 
 def _decomposition_trace(
     key, gridf, grid, origins, directions, extinction, albedo,
-    sun_dir, sun_ic, phase_g, max_events, b_min, b_max, extent,
+    bg_fn, phase_g, max_events, b_min, b_max, extent,
 ):
     """Analog decomposition tracking (Kutz et al. 2017;
     DecompositionTracking.glsl:5-92): a homogeneous CONTROL component
@@ -403,7 +416,7 @@ def _decomposition_trace(
         (xf, wf, df, _, _, alive, absorbed), _ = jax.lax.scan(
             step, init, keys
         )
-        bg = sample_skybox(wf) + sample_light(wf, sun_dir, sun_ic)
+        bg = bg_fn(wf)
         radiance = jnp.where(absorbed, 0.0, bg)
         return (radiance, jnp.zeros((3,), jnp.float32), jnp.bool_(False))
 
@@ -426,12 +439,16 @@ def render_vpt(
     settings: VptSettings = VptSettings(),
     spp: int = 2,
     return_features: bool = False,
+    env_map: jnp.ndarray = None,  # [He, We, 3] equirectangular radiance
+    env_intensity: float = 1.0,
 ) -> jnp.ndarray:
     """-> [H, W, 3] linear radiance (average of spp jittered samples).
 
     With return_features, also returns (first_scatter_position [H, W, 3],
     first_scatter_valid [H, W]) from the first sample — the reference's
-    ScatterEvent feature maps feeding the denoiser chain."""
+    ScatterEvent feature maps feeding the denoiser chain.  With
+    `env_map`, lighting comes from the environment map scaled by
+    `env_intensity` instead of the procedural sky + sun."""
     extinction = jnp.asarray(settings.extinction, jnp.float32)
     albedo = jnp.asarray(settings.scattering_albedo, jnp.float32)
     sun_dir = jnp.asarray(settings.sun_direction, jnp.float32)
@@ -465,6 +482,7 @@ def render_vpt(
             max_events=settings.max_events,
             interpolation=settings.interpolation,
             super_voxel_size=settings.super_voxel_size,
+            env_map=env_map, env_intensity=env_intensity,
         )
         acc = acc + radiance
         if s == 0:
@@ -492,12 +510,34 @@ class VolumetricPathTracerRenderer:
         self.frame = 0
         self._accum = None
         self._features = None
-        self.denoiser = "None"  # None | EAW | SVGF (Denoiser.hpp:62-99)
+        self.denoiser = "None"  # None | EAW | SVGF | SVGF (Temporal)
+        self._cloud = None  # file-loaded cloud grid (CloudData role)
+        self._env_map = None
+        self.env_intensity = 1.0
+        self._svgf_state = None
+        self._prev_vp = None
         if settings is not None:
             self.set_new_settings(settings)
 
     def set_line_data(self, line_data) -> None:
         self.line_data = line_data
+        self._accum = None
+        self.frame = 0
+
+    def set_cloud_data(self, cloud) -> None:
+        """Render a file-loaded cloud grid (loaders/cloud_loader.py
+        CloudData or a raw [Z, Y, X] array) instead of the line data's
+        density field — the reference's CloudData input path."""
+        self._cloud = getattr(cloud, "density", cloud)
+        self._accum = None
+        self.frame = 0
+
+    def set_environment_map(self, env, intensity: float = None) -> None:
+        """[He, We, 3] linear equirectangular radiance (or None to return
+        to the procedural sky+sun); VolumetricPathTracingPass.hpp:169-174."""
+        self._env_map = None if env is None else jnp.asarray(env, jnp.float32)
+        if intensity is not None:
+            self.env_intensity = float(intensity)
         self._accum = None
         self.frame = 0
 
@@ -517,6 +557,25 @@ class VolumetricPathTracerRenderer:
             changed = True
         if settings.has_key("denoiser"):
             self.denoiser = settings.get_value("denoiser")
+        if settings.has_key("cloud_file"):
+            from linevis_tpu.loaders.cloud_loader import load_cloud_file
+
+            self.set_cloud_data(
+                load_cloud_file(settings.get_value("cloud_file"))
+            )
+            changed = True
+        if settings.has_key("environment_map"):
+            from linevis_tpu.render.env_map import load_environment_map
+
+            self.set_environment_map(
+                load_environment_map(settings.get_value("environment_map"))
+            )
+            changed = True
+        if settings.has_key("environment_map_intensity"):
+            self.env_intensity = settings.get_float(
+                "environment_map_intensity"
+            )
+            changed = True
         if changed:
             self._accum = None
             self.frame = 0
@@ -524,7 +583,10 @@ class VolumetricPathTracerRenderer:
     def render(self, camera) -> np.ndarray:
         from linevis_tpu.render.tube_raster import _ray_basis
 
-        grid = jnp.asarray(self.line_data.cloud_grid)
+        if self._cloud is not None:
+            grid = jnp.asarray(self._cloud)
+        else:
+            grid = jnp.asarray(self.line_data.cloud_grid)
         basis = _ray_basis(jnp.asarray(camera.view_projection_matrix()))
         img, (first_x, first_has) = render_vpt(
             jax.random.PRNGKey(self.frame),
@@ -533,7 +595,37 @@ class VolumetricPathTracerRenderer:
             basis, camera.width, camera.height,
             settings=self.vpt, spp=self.vpt.samples_per_frame,
             return_features=True,
+            env_map=self._env_map,
+            env_intensity=self.env_intensity,
         )
+        if self.denoiser == "SVGF (Temporal)":
+            # Full SVGF (history reprojection + variance accumulation,
+            # SVGF.hpp:46,92): converges under a MOVING camera, using the
+            # first-scatter feature map as the geometry for motion
+            # vectors and the disocclusion test.
+            from linevis_tpu.render.deferred import motion_vectors
+            from linevis_tpu.render.denoiser import svgf_temporal_denoise
+
+            color = jnp.moveaxis(jnp.asarray(img), -1, 0)
+            pos = jnp.where(
+                first_has[None], jnp.moveaxis(first_x, -1, 0), 1e3
+            )
+            if self._prev_vp is None:
+                motion = jnp.zeros((2,) + first_has.shape, jnp.float32)
+            else:
+                motion = motion_vectors(
+                    pos, first_has, jnp.asarray(self._prev_vp)
+                )
+            out_c, self._svgf_state = svgf_temporal_denoise(
+                color, motion, pos, self._svgf_state,
+            )
+            self._prev_vp = np.asarray(camera.view_projection_matrix())
+            self.frame += 1
+            out = np.moveaxis(np.asarray(out_c), 0, -1)
+            return np.concatenate(
+                [out, np.ones(out.shape[:2] + (1,), np.float32)], axis=-1
+            )
+
         img = np.asarray(img)
         if self._accum is None:
             self._accum = img

@@ -193,6 +193,72 @@ def test_netcdf_trajectories_roundtrip(tmp_path):
     assert traj.num_lines == 3
 
 
+def test_netcdf_grid_loader(tmp_path):
+    """NetCDF vector-field grid for the streamline tracer
+    (NetCdfLoader.cpp:113-360): u/v/w fields, 4-D time slicing, dim
+    coordinates -> spacing, extra scalar with standard_name display."""
+    import numpy as np
+    from scipy.io import netcdf_file
+
+    from linevis_tpu.loaders.grid_loader import (
+        load_grid_file,
+        load_netcdf_grid,
+    )
+
+    nz, ny, nx, nt = 4, 5, 6, 3
+    rng = np.random.default_rng(9)
+    u = rng.normal(size=(nt, nz, ny, nx)).astype(np.float32)
+    v = rng.normal(size=(nt, nz, ny, nx)).astype(np.float32)
+    w = rng.normal(size=(nt, nz, ny, nx)).astype(np.float32)
+    temp = rng.normal(size=(nt, nz, ny, nx)).astype(np.float32)
+
+    path = str(tmp_path / "wind.nc")
+    f = netcdf_file(path, "w")
+    f.createDimension("time", nt)
+    f.createDimension("zdim", nz)
+    f.createDimension("ydim", ny)
+    f.createDimension("xdim", nx)
+    dims = ("time", "zdim", "ydim", "xdim")
+    for name, data in [("u", u), ("v", v), ("w", w), ("t", temp)]:
+        var = f.createVariable(name, "f", dims)
+        var[:] = data
+    f.variables["t"].standard_name = "Temperature"
+    # Coordinate variables: z twice as coarse as x/y.
+    zc = f.createVariable("zdim", "f", ("zdim",))
+    zc[:] = np.arange(nz, dtype=np.float32) * 2.0
+    yc = f.createVariable("ydim", "f", ("ydim",))
+    yc[:] = np.arange(ny, dtype=np.float32)
+    xc = f.createVariable("xdim", "f", ("xdim",))
+    xc[:] = np.arange(nx, dtype=np.float32)
+    f.close()
+
+    grid = load_netcdf_grid(path, time=1)
+    assert grid.shape == (nz, ny, nx)
+    np.testing.assert_allclose(grid.velocity[..., 0], u[1], atol=0)
+    np.testing.assert_allclose(grid.velocity[..., 2], w[1], atol=0)
+    assert "Temperature" in grid.scalars
+    np.testing.assert_allclose(grid.scalars["Temperature"], temp[1], atol=0)
+    # Spacing: dz twice dx, normalized so the max delta axis gets
+    # cellStep = 1 / maxDimension (maxDim = nx - 1 = 5).
+    np.testing.assert_allclose(grid.spacing[2], 0.2 * 2.0 / 2.0, atol=1e-6)
+    np.testing.assert_allclose(grid.spacing[0], 0.2 * 1.0 / 2.0, atol=1e-6)
+
+    # Dispatcher route + tracer smoke.
+    grid2 = load_grid_file(path)
+    assert grid2.shape == (nz, ny, nx)
+
+    from linevis_tpu.trace.streamline import (
+        StreamlineTracingSettings,
+        trace_streamlines_grid,
+    )
+
+    traj = trace_streamlines_grid(
+        grid.velocity,
+        StreamlineTracingSettings(num_seeds=8, max_steps=16, dt=0.01),
+    )
+    assert traj.positions.shape[0] == 8
+
+
 def test_vtk_structured_points_ascii_and_binary(tmp_path):
     """Write VTK legacy files both ways, load, trace streamlines."""
     import numpy as np
