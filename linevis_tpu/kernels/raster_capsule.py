@@ -63,6 +63,7 @@ def _capsule_kernel(
     tx_ref,  # [TILE_GROUP, P] tangent (unnormalized ba)
     ty_ref,
     tz_ref,
+    cov_ref,  # [TILE_GROUP, P] analytic pixel coverage of the winner
     coef_scr,  # [2, 16, C]
     sem,
     *,
@@ -73,6 +74,7 @@ def _capsule_kernel(
     width: int,
     height: int,
     use_early_z: bool,
+    use_aa: bool,
 ):
     gi = pl.program_id(0)
     C = chunk
@@ -84,11 +86,13 @@ def _capsule_kernel(
 
     depth_ref[:] = jnp.full(depth_ref.shape, 2.0, jnp.float32)
     id_ref[:] = jnp.full(id_ref.shape, -1.0, jnp.float32)
-    for r in (attr_ref, nx_ref, ny_ref, nz_ref, tx_ref, ty_ref, tz_ref):
+    for r in (attr_ref, nx_ref, ny_ref, nz_ref, tx_ref, ty_ref, tz_ref,
+              cov_ref):
         r[:] = jnp.zeros(r.shape, jnp.float32)
 
     zA = params_ref[9]
     zB = params_ref[10]
+    px = params_ref[19]  # world units per pixel at view depth 1 (AA)
 
     for k in range(TILE_GROUP):
         t = gi * TILE_GROUP + k
@@ -191,22 +195,52 @@ def _capsule_kernel(
                     h = k1 * k1 - k2 * k0
                     tb = (-k1 - jnp.sqrt(jnp.maximum(h, 0.0))) / k2
                     yb = baoa + tb * bard
-                    okb = (h >= 0.0) & (yb > 0.0) & (yb < baba)
                     # Sphere cap at a.
                     ha = rd * rd - (oaoa - rr)
                     ta = -rd - jnp.sqrt(jnp.maximum(ha, 0.0))
                     ya = baoa + ta * bard
-                    # Start caps render only at chain starts (payload row 13);
-                    # interior joints are covered by the previous segment's
-                    # b-cap (identical union, single blend per joint).
-                    oka = (ha >= 0.0) & (ya <= 0.0) & (scal(13) > 0.5)
                     # Sphere cap at b (ob' = oa' - ba).
                     b1b = rd - bard
                     obob = oaoa - 2.0 * baoa + baba
                     hb = b1b * b1b - (obob - rr)
                     tbb = -b1b - jnp.sqrt(jnp.maximum(hb, 0.0))
                     yb2 = baoa + tbb * bard
-                    okb2 = (hb >= 0.0) & (yb2 >= baba)
+
+                    if use_aa:
+                        # Analytic coverage AA (the reference's role of MSAA
+                        # 8x, OpaqueLineRenderer.hpp:40): on a miss the
+                        # -sqrt(max(h,0)) roots above ARE the closest-
+                        # approach t, and the ray-to-axis miss distance
+                        # follows from the discriminant (the capsule
+                        # quadratic equals baba*(d_perp(t)^2 - r^2), so
+                        # d_min^2 = r^2 - h/(k2*baba); caps analogously
+                        # d_min^2 = r^2 - h). Accept candidates whose
+                        # silhouette passes within half a pixel footprint
+                        # and record coverage = 0.5 + signed pixel distance,
+                        # the straight-edge pixel coverage model
+                        # (Antialiasing.glsl role, built into the raster).
+                        r_w = scal(6)
+
+                        def sdist(d2, t_rel):
+                            w_px = jnp.maximum(
+                                (t0 + t_rel) * invlen, 1e-6
+                            ) * px
+                            return (r_w - jnp.sqrt(jnp.maximum(d2, 0.0))) / w_px
+
+                        sdb = sdist(rr - h / (k2 * baba), tb)
+                        sda = sdist(rr - ha, ta)
+                        sdb2 = sdist(rr - hb, tbb)
+                        okb = (sdb > -0.5) & (yb > 0.0) & (yb < baba)
+                        oka = (sda > -0.5) & (ya <= 0.0) & (scal(13) > 0.5)
+                        okb2 = (sdb2 > -0.5) & (yb2 >= baba)
+                    else:
+                        okb = (h >= 0.0) & (yb > 0.0) & (yb < baba)
+                        # Start caps render only at chain starts (payload row
+                        # 13); interior joints are covered by the previous
+                        # segment's b-cap (identical union, single blend per
+                        # joint).
+                        oka = (ha >= 0.0) & (ya <= 0.0) & (scal(13) > 0.5)
+                        okb2 = (hb >= 0.0) & (yb2 >= baba)
                     # Positivity in the ORIGINAL frame: t_world = t0 + t'.
                     okb = okb & (t0 + tb > 0.0) & in_run
                     oka = oka & (t0 + ta > 0.0) & in_run
@@ -219,6 +253,18 @@ def _capsule_kernel(
                             jnp.where(okb2, tbb, _BIG),
                         ),
                     )  # [C, P] distance along dn, relative to t0
+                    if use_aa:
+                        def covp(sd, ok):
+                            return jnp.where(
+                                ok, jnp.clip(0.5 + sd, 0.0, 1.0), 0.0
+                            )
+
+                        cov_cand = jnp.maximum(
+                            covp(sdb, okb),
+                            jnp.maximum(covp(sda, oka), covp(sdb2, okb2)),
+                        )
+                    else:
+                        cov_cand = jnp.where(tall < _BIG, 1.0, 0.0)
                     tw = jnp.where(tall < _BIG, t0 + tall, _BIG)
                     bt = jnp.min(tw, axis=0, keepdims=True)  # [1, P] world t
                     hit = bt < _BIG
@@ -267,6 +313,7 @@ def _capsule_kernel(
                         upd(depth_ref, zndc)
                         upd(id_ref, bid)
                         upd(attr_ref, battr)
+                        upd(cov_ref, sel(cov_cand))
 
                 zfar = jnp.max(depth_ref[k : k + 1, :])
                 c_next = jnp.where(exit_now, nch, c + 1)
@@ -277,19 +324,27 @@ def _capsule_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_w", "tile_h", "interpret", "use_early_z"),
+    static_argnames=("width", "height", "tile_w", "tile_h", "interpret",
+                     "use_early_z", "use_aa"),
 )
 def rasterize_capsules_pallas(
     csr: SortedBinning,
-    params: jnp.ndarray,  # [16] (ray basis, zA, zB)
+    params: jnp.ndarray,  # [20] (ray basis, zA, zB, ..., 19: px scale)
     width: int,
     height: int,
     tile_w: int = 16,
     tile_h: int = 8,
     interpret: bool = False,
     use_early_z: bool = True,
+    use_aa: bool = True,
 ):
-    """Capsule raster pass -> (z_ndc, seg_id, [attr, nx, ny, nz, tx, ty, tz])."""
+    """Capsule raster pass ->
+    (z_ndc, seg_id, [attr, nx, ny, nz, tx, ty, tz, coverage]).
+
+    `coverage` is the analytic pixel coverage of the winning fragment in
+    [0, 1] (1 inside the silhouette, a linear ramp across the edge; the
+    resolve blends it against the layer behind).  With use_aa=False the
+    pre-AA hit test is used and coverage is binary."""
     n_tiles = csr.tile_start.shape[0]
     C = csr.chunk
     R = csr.payload.shape[0]
@@ -307,6 +362,7 @@ def rasterize_capsules_pallas(
         width=width,
         height=height,
         use_early_z=use_early_z,
+        use_aa=use_aa,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -317,7 +373,7 @@ def rasterize_capsules_pallas(
                 (TILE_GROUP, P), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             )
         ]
-        * 9,
+        * 10,
         scratch_shapes=[
             pltpu.VMEM((2, R, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -326,7 +382,7 @@ def rasterize_capsules_pallas(
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_pad, P), jnp.float32)] * 9,
+        out_shape=[jax.ShapeDtypeStruct((n_pad, P), jnp.float32)] * 10,
         interpret=interpret,
     )(counts, starts, params, csr.payload)
     outs = [o[:n_tiles] for o in outs]

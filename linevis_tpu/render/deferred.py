@@ -120,12 +120,14 @@ def render_tubes_deferred(
     pipeline provides to upscalers and TAA.
     """
     csr, params, basis = prepare_capsule_frame(
-        scene, view_proj, camera_position, proj_ab, settings
+        scene, view_proj, camera_position, proj_ab, settings,
+        aa_margin=0.5 if settings.aa else 0.0,
     )
     interpret = jax.default_backend() == "cpu"
     depth_t, id_t, gbuf_t = rasterize_capsules_pallas(
         csr, params, settings.width, settings.height,
         settings.tile_w, settings.tile_h, interpret=interpret,
+        use_aa=settings.aa,
     )
 
     def unp(x):
@@ -136,7 +138,7 @@ def render_tubes_deferred(
 
     zndc = unp(depth_t)
     seg_id = unp(id_t)
-    attr, nx, ny, nz, tx, ty, tz = (unp(b) for b in gbuf_t)
+    attr, nx, ny, nz, tx, ty, tz, cov = (unp(b) for b in gbuf_t)
 
     w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]
     big = jnp.float32(3e38)
@@ -147,6 +149,7 @@ def render_tubes_deferred(
         zndc, seg_id, attr,
         jnp.stack([nx, ny, nz], axis=0), jnp.stack([tx, ty, tz], axis=0),
         camera_position, basis, proj_ab, dmin, dmax, settings,
+        coverage=cov,
     )
     if not with_motion:
         return img

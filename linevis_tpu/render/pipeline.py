@@ -64,6 +64,9 @@ class RasterSettings:
     pairs_capacity: int = 0  # 0 -> heuristic (see build_csr_binning)
     background_color: tuple = (1.0, 1.0, 1.0, 1.0)
     depth_cue_strength: float = 0.0
+    # Analytic coverage AA on the opaque capsule raster (the reference's
+    # MSAA role). Off: exact binary hit test (brute-force-comparable).
+    aa: bool = True
     # Transfer function as static control points (pos, r, g, b linear RGB)
     # and (pos, alpha) — evaluated gather-free (tf_eval_points). Defaults to
     # the reference's Standard.xml blue-white-red map.

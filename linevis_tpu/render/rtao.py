@@ -112,9 +112,12 @@ def render_tubes_rtao(
     csr, params, basis = prepare_capsule_frame(
         scene, view_proj, camera_position, proj_ab, settings
     )
+    # use_aa=False: the AO G-buffer wants solid geometric hits only —
+    # sub-half-pixel edge fragments would spawn AO rays from silhouette
+    # grazing points.
     depth_t, id_t, gbuf_t = rasterize_capsules_pallas(
         csr, params, W, H, settings.tile_w, settings.tile_h,
-        interpret=interpret,
+        interpret=interpret, use_aa=False,
     )
 
     def unp(x):
@@ -125,7 +128,7 @@ def render_tubes_rtao(
 
     zndc = unp(depth_t)
     seg_id = unp(id_t)
-    attr, nx, ny, nz, tx, ty, tz = (unp(b) for b in gbuf_t)
+    attr, nx, ny, nz, tx, ty, tz, _cov = (unp(b) for b in gbuf_t)
     fg = seg_id >= 0
     normal = normalize3(jnp.stack([nx, ny, nz], axis=0))
     tangent = normalize3(jnp.stack([tx, ty, tz], axis=0))

@@ -122,6 +122,7 @@ def prepare_capsule_frame(
     seg_alpha: jnp.ndarray = None,  # [2, S] (alpha0, dalpha) rows 11-12
     y_offset: jnp.ndarray = None,  # band-local rendering: global y of row 0
     full_height: int = None,  # full-frame height when y_offset is used
+    aa_margin: float = 0.0,  # extra px of cull slack (coverage-AA callers)
 ):
     """Project segments, build the CSR binning + kernel params.
 
@@ -159,7 +160,12 @@ def prepare_capsule_frame(
         0.5 * settings.width * jnp.linalg.norm(view_proj[0, :3]),
         0.5 * settings.height * jnp.linalg.norm(view_proj[1, :3]),
     )
-    sr = r * px_per_unit / jnp.maximum(wmin - r, z_near)
+    # aa_margin (0.5 px from coverage-AA callers): the analytic AA accepts
+    # silhouettes up to half a pixel outside the geometric radius
+    # (kernels/raster_capsule.py use_aa). OIT callers pass 0: their kernels
+    # reject these candidates anyway, and the binning perturbation would
+    # change chunk partitioning (tie pairs split across chunk boundaries).
+    sr = r * px_per_unit / jnp.maximum(wmin - r, z_near) + aa_margin
     xmin = jnp.minimum(sxa, sxb) - sr
     xmax = jnp.maximum(sxa, sxb) + sr
     ymin = jnp.minimum(sya, syb) - sr
@@ -233,10 +239,13 @@ def prepare_capsule_frame(
     # params rows 0-8: B row-major where dir_i = B[i,0]*u + B[i,1]*v + B[i,2].
     # 9 zA, 10 zB, 11 dmin, 12 dmax, 13 depth-cue, 14 opacity scale,
     # 15 logDepthMin, 16 logDepthMax, 17 moment bias, 18 overestimation
-    # (15-18 are MBOIT, MomentOIT.glsl uniforms), 19 spare.
+    # (15-18 are MBOIT, MomentOIT.glsl uniforms), 19 px scale: world units
+    # per pixel at view depth 1 (the opaque kernel's coverage AA).
+    px_scale = (2.0 / settings.height) * jnp.linalg.norm(basis[:, 1])
     params = jnp.concatenate(
         [basis.reshape(-1), proj_ab, jnp.zeros((9,), jnp.float32)]
     )
+    params = params.at[19].set(px_scale)
     return csr, params, basis
 
 
@@ -250,12 +259,14 @@ def render_tubes(
 ) -> jnp.ndarray:
     """Render capsules -> [4, H, W] linear RGBA (channels-first)."""
     csr, params, basis = prepare_capsule_frame(
-        scene, view_proj, camera_position, proj_ab, settings
+        scene, view_proj, camera_position, proj_ab, settings,
+        aa_margin=0.5 if settings.aa else 0.0,
     )
     interpret = jax.default_backend() == "cpu"
     depth_t, id_t, gbuf_t = rasterize_capsules_pallas(
         csr, params, settings.width, settings.height,
         settings.tile_w, settings.tile_h, interpret=interpret,
+        use_aa=settings.aa,
     )
 
     def unp(x):
@@ -266,7 +277,7 @@ def render_tubes(
 
     zndc = unp(depth_t)
     seg_id = unp(id_t)
-    attr, nx, ny, nz, tx, ty, tz = (unp(b) for b in gbuf_t)
+    attr, nx, ny, nz, tx, ty, tz, cov = (unp(b) for b in gbuf_t)
 
     # Depth-cue range over segment endpoints (reference DepthCues.hpp).
     w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]
@@ -278,12 +289,14 @@ def render_tubes(
         zndc, seg_id, attr,
         jnp.stack([nx, ny, nz], axis=0), jnp.stack([tx, ty, tz], axis=0),
         camera_position, basis, proj_ab, dmin, dmax, settings,
+        coverage=cov,
     )
 
 
 def shade_capsules(
     zndc, seg_id, attr, normal_raw, tangent_raw, camera_position,
     ray_basis, proj_ab, depth_min, depth_max, settings: RasterSettings,
+    coverage=None,
 ):
     """Pure elementwise shading from the kernel's G-buffer (no gathers)."""
     from linevis_tpu.render.transfer_function import tf_eval_points
@@ -315,8 +328,15 @@ def shade_capsules(
             color, view_z, depth_min, depth_max, settings.depth_cue_strength
         )
     bg = jnp.asarray(settings.background_color, jnp.float32)
-    out_rgb = jnp.where(fg[None], color, bg[:3, None, None])
-    out_a = jnp.where(fg, alpha, bg[3])
+    if coverage is not None:
+        # Analytic edge AA: blend the fragment over the background by its
+        # pixel coverage (interior pixels have coverage 1 — unchanged).
+        c = jnp.where(fg, coverage, 0.0)
+        out_rgb = color * c[None] + bg[:3, None, None] * (1.0 - c[None])
+        out_a = alpha * c + bg[3] * (1.0 - c)
+    else:
+        out_rgb = jnp.where(fg[None], color, bg[:3, None, None])
+        out_a = jnp.where(fg, alpha, bg[3])
     return jnp.concatenate([out_rgb, out_a[None]], axis=0)
 
 

@@ -55,7 +55,10 @@ def test_mlab_opaque_limit_matches_opaque():
     cam = Camera(position=(0.1, 0.05, 1.5), width=W, height=H)
     S = _settings()
     img_t = render_tubes_mlab_image(scene, cam, settings=S, K=4, opacity=1.0)
-    img_o = render_tubes_image(scene, cam, settings=S)
+    # aa=False: the OIT kernel uses the exact binary hit test; the opaque
+    # side must match it (coverage AA would soften the compared edges).
+    import dataclasses as _dc
+    img_o = render_tubes_image(scene, cam, settings=_dc.replace(S, aa=False))
     # Colors match wherever both cover (modulo fp): transparent path shades
     # identically at alpha=1.
     cov_t = img_t[..., 3] > 0.5
