@@ -24,7 +24,13 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
+import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force via config (this study
+# runs in interpret mode — the exact ray-tracer oracle needs no TPU).
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
 
 
 def deep_scene(depth_layers: int = 52, rows: int = 18,
@@ -139,9 +145,11 @@ def write_doc(res, path="docs/BOUNDED_K_FIDELITY.md"):
         lines.append(f"| {K} | {s:.4f} | {mad:.5f} | {p99:.4f} |")
     lines += [
         "",
-        "Generated by `examples/bounded_k_fidelity.py`; the K=16 row is",
-        "pinned as a regression gate in `tests/test_bounded_k.py` (slow",
-        "tier).",
+        "Generated by `examples/bounded_k_fidelity.py`.  K=32 meets the",
+        "0.99 SSIM bar at reference depth — the PPLL (exact) renderer mode",
+        "defaults to K=32; K=8 remains the MLAB default (the reference's",
+        "MLAB is the same approximation).  `tests/test_bounded_k.py` (slow",
+        "tier) pins the gate on a reduced scene.",
         "",
     ]
     with open(path, "w") as f:

@@ -213,6 +213,90 @@ def scene_multivar():
                                settings=_settings(w, h))
 
 
+def _line_data(seed=21, L=6, P=8, width=0.09, spread=0.06):
+    from linevis_tpu.core.trajectories import Trajectories
+    from linevis_tpu.scene.line_data import LineData
+
+    rng = np.random.default_rng(seed)
+    pos = np.cumsum(rng.normal(0, spread, (L, P, 3)), axis=1)
+    pos = pos.astype(np.float32)
+    pos -= pos.mean(axis=(0, 1))
+    traj = Trajectories(
+        positions=pos,
+        attributes=rng.uniform(0, 1, (L, 1, P)).astype(np.float32),
+        mask=np.ones((L, P), bool),
+        num_points=np.full((L,), P, np.int32),
+        attribute_names=["a"],
+    )
+    ld = LineData(traj)
+    ld.set_line_width(width)
+    return ld
+
+
+def _registry_scene(mode, settings=None, frames=1, seed=21):
+    from linevis_tpu.core.settings import SettingsMap
+    from linevis_tpu.render.renderer import create_renderer
+
+    w, h = SMALL_SIZE
+    r = create_renderer(mode, SettingsMap(settings or {}))
+    r.set_line_data(_line_data(seed=seed))
+    cam = _camera(w, h)
+    img = r.render(cam)
+    for _ in range(frames - 1):  # accumulation modes: fixed frame count
+        img = r.render(cam)
+    return img
+
+
+def scene_depth_peeling():
+    """Exact front-to-back peeling (DepthPeelingRenderer.cpp role)."""
+    return _registry_scene("Depth Peeling", {"opacity": 0.5})
+
+
+def scene_rtao():
+    """RTAO G-buffer + grid-traced AO, 2 accumulation frames, fixed seed."""
+    return _registry_scene("RTAO", frames=2)
+
+
+def scene_opacity_optimization():
+    """Opacity-optimization pipeline at a fixed post-movement frame."""
+    return _registry_scene("Opacity Optimization", seed=33)
+
+
+def scene_vpt():
+    """Volumetric path tracer on the line density field, fixed seed,
+    4 accumulation frames (TestVolumetricPathTracing.cpp protocol)."""
+    from linevis_tpu.render.renderer import create_renderer
+    from linevis_tpu.scene.line_data_scattering import LineDataScattering
+
+    w, h = SMALL_SIZE
+    rng = np.random.default_rng(17)
+    L, P = 5, 8
+    pos = np.cumsum(rng.normal(0, 0.08, (L, P, 3)), axis=1)
+    pos = pos.astype(np.float32)
+    pos -= pos.mean(axis=(0, 1))
+    from linevis_tpu.core.trajectories import Trajectories
+
+    traj = Trajectories(
+        positions=pos,
+        attributes=rng.uniform(0, 1, (L, 1, P)).astype(np.float32),
+        mask=np.ones((L, P), bool),
+        num_points=np.full((L,), P, np.int32),
+        attribute_names=["a"],
+    )
+    # Analytic Gaussian-blob cloud the paths were "traced" in.
+    g = 20
+    zz, yy, xx = np.meshgrid(*([np.linspace(-1, 1, g)] * 3), indexing="ij")
+    cloud = np.exp(-4.0 * (xx**2 + yy**2 + zz**2)).astype(np.float32)
+    ld = LineDataScattering(traj, cloud_grid=cloud)
+    r = create_renderer("Volumetric Path Tracer")
+    r.set_line_data(ld)
+    cam = _camera(w, h, pos=(0.0, 0.2, 1.6))
+    img = r.render(cam)
+    for _ in range(3):
+        img = r.render(cam)
+    return img
+
+
 ALL_SCENES = {
     "opaque_tubes": scene_opaque_tubes,
     "mlab_transparent": scene_mlab_transparent,
@@ -221,4 +305,8 @@ ALL_SCENES = {
     "vrc": scene_vrc,
     "surface_cube": scene_surface_cube,
     "multivar": scene_multivar,
+    "depth_peeling": scene_depth_peeling,
+    "rtao": scene_rtao,
+    "opacity_optimization": scene_opacity_optimization,
+    "vpt": scene_vpt,
 }
