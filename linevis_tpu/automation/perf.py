@@ -64,11 +64,13 @@ def get_test_modes_oit(
 
     add("Opaque", "Opaque")
     add("MLAB 8 Layers", "Multi-Layer Alpha Blending")
-    add("PPLL (K=16 exact)", "Per-Pixel Linked Lists")
+    add("PPLL (K=32 exact)", "Per-Pixel Linked Lists")
     add("MLAB (Buckets)", "MLAB (Buckets)")
     for n_mom in (4, 6, 8):
         add(f"MBOIT {n_mom} Power Moments", "Moment-Based OIT",
             numMoments=n_mom)
+    add("MBOIT 4 Trigonometric Moments", "Moment-Based OIT",
+        numMoments=4, usePowerMoments=False)
     add("WBOIT", "WBOIT")
     add("Depth Peeling", "Depth Peeling")
     add("Depth Complexity", "Depth Complexity")

@@ -36,6 +36,12 @@ from linevis_tpu.kernels.moment_math import (
     transmittance_at_depth_6,
     transmittance_at_depth_8,
 )
+from linevis_tpu.kernels.trig_moment_math import (
+    circle_powers,
+    transmittance_at_depth_trig_2,
+    transmittance_at_depth_trig_3,
+    transmittance_at_depth_trig_4,
+)
 from linevis_tpu.kernels.raster_pallas import TILE_GROUP, SortedBinning
 
 __all__ = ["rasterize_capsules_mlab"]
@@ -69,8 +75,9 @@ def _tf_eval_static(tf_color, tf_opacity, x):
 def _mlab_kernel(
     count_ref,
     start_ref,
-    params_ref,  # [16]: ray basis 0-8, zA 9, zB 10, dmin 11, dmax 12,
-    #                    depth_cue_strength 13, opacity_scale 14
+    params_ref,  # [24]: ray basis 0-8, zA 9, zB 10, dmin 11, dmax 12,
+    #            depth_cue_strength 13, opacity_scale 14, log-depth 15-16,
+    #            moment bias 17, overestimation 18, px scale 19, wzp 20-22
     payload_hbm,  # [16, Np + C]
     *refs,
     tile_w: int,
@@ -86,7 +93,8 @@ def _mlab_kernel(
     store_mode: str,  # 'shade' | 'gather' (opacity-optimization importance)
     #  | 'wboit' | 'count' | 'mboit_gen' | 'mboit_resolve'
     alpha_from_rows: bool,  # alpha = row11 + row12*u (per-segment opacities)
-    n_mom: int,  # MBOIT power-moment count (4 | 6 | 8)
+    n_mom: int,  # MBOIT moment count (4 | 6 | 8 scalar channels)
+    trig: bool,  # MBOIT trigonometric moments (usePowerMoments = false)
     use_peel: bool,  # depth peeling: discard fragments at znd <= peel input
     no_overflow: bool,  # drop evicted fragments instead of MLAB-merging
     deferred_shade: bool,  # store (attr, cosc, spec) features, shade in XLA
@@ -104,6 +112,11 @@ def _mlab_kernel(
     n_out = 5 * K
     out = refs[:n_out]
     coef_scr, sem = refs[n_out], refs[n_out + 1]
+    # K-node buffer scratch, [K, P] per channel: the insertion sort runs
+    # vectorized over all K nodes at once (K=8 exactly fills the 8x128
+    # VREG sublanes) instead of K chained [1, P] row swaps; the final
+    # node state is copied to the per-node output planes at tile end.
+    node_scr = refs[n_out + 2 : n_out + 7]
     d_refs = out[0:K]
     r_refs = out[K : 2 * K]
     g_refs = out[2 * K : 3 * K]
@@ -134,6 +147,9 @@ def _mlab_kernel(
     log_dmax = params_ref[16]
     m_bias = params_ref[17]
     m_overest = params_ref[18]
+    wzp_y = params_ref[20]  # wrapping-zone constants (trig moments)
+    wzp_z = params_ref[21]
+    wzp_w = params_ref[22]
 
     for k in range(TILE_GROUP):
         t = gi * TILE_GROUP + k
@@ -164,6 +180,12 @@ def _mlab_kernel(
         def _(nch=nch, count=count, base=base, b0=b0, dn=dn, invlen=invlen,
               k=k, get_dma=get_dma):
             get_dma(0, 0).start()
+            if store_mode not in _ACCUM_MODES:
+                node_scr[0][:] = jnp.full(
+                    node_scr[0].shape, 2.0, jnp.float32
+                )
+                for s in node_scr[1:]:
+                    s[:] = jnp.zeros(s.shape, jnp.float32)
 
             def cond(state):
                 c, _, _ = state
@@ -423,18 +445,35 @@ def _mlab_kernel(
                             even_slots = (
                                 d_refs[1], r_refs[1], g_refs[1], b_refs[1]
                             )
-                            d2 = dw * dw
-                            pow_odd = dw
-                            pow_even = d2
-                            for j in range(n_mom // 2):
-                                odd_slots[j][k : k + 1, :] += jnp.sum(
-                                    pow_odd * absorb, axis=0, keepdims=True
-                                )
-                                even_slots[j][k : k + 1, :] += jnp.sum(
-                                    pow_even * absorb, axis=0, keepdims=True
-                                )
-                                pow_odd = pow_odd * d2
-                                pow_even = pow_even * d2
+                            if trig:
+                                # Trigonometric moments: complex powers of
+                                # the unit-circle point at the warped depth
+                                # (MomentOIT.glsl:338-355); odd slots hold
+                                # Re(m_k), even slots Im(m_k).
+                                for j, (p_re, p_im) in enumerate(
+                                    circle_powers(dw, wzp_y, n_mom // 2)
+                                ):
+                                    odd_slots[j][k : k + 1, :] += jnp.sum(
+                                        p_re * absorb, axis=0, keepdims=True
+                                    )
+                                    even_slots[j][k : k + 1, :] += jnp.sum(
+                                        p_im * absorb, axis=0, keepdims=True
+                                    )
+                            else:
+                                d2 = dw * dw
+                                pow_odd = dw
+                                pow_even = d2
+                                for j in range(n_mom // 2):
+                                    odd_slots[j][k : k + 1, :] += jnp.sum(
+                                        pow_odd * absorb, axis=0,
+                                        keepdims=True,
+                                    )
+                                    even_slots[j][k : k + 1, :] += jnp.sum(
+                                        pow_even * absorb, axis=0,
+                                        keepdims=True,
+                                    )
+                                    pow_odd = pow_odd * d2
+                                    pow_even = pow_even * d2
                         elif store_mode == "mboit_resolve":
                             # Pass 2: reconstruct per-fragment transmittance
                             # from the pass-1 moments and accumulate weighted
@@ -450,14 +489,25 @@ def _mlab_kernel(
                                 mom_in[1 + nh + j][k : k + 1, :] * inv_b0
                                 for j in range(nh)
                             )
-                            trans_fn = {
-                                4: transmittance_at_depth_4,
-                                6: transmittance_at_depth_6,
-                                8: transmittance_at_depth_8,
-                            }[n_mom]
-                            T_at = trans_fn(
-                                b0v, evens, odds, dw, m_bias, m_overest
-                            )
+                            if trig:
+                                trans_fn = {
+                                    4: transmittance_at_depth_trig_2,
+                                    6: transmittance_at_depth_trig_3,
+                                    8: transmittance_at_depth_trig_4,
+                                }[n_mom]
+                                T_at = trans_fn(
+                                    b0v, list(zip(odds, evens)), dw,
+                                    m_bias, m_overest, wzp_y, wzp_z, wzp_w,
+                                )
+                            else:
+                                trans_fn = {
+                                    4: transmittance_at_depth_4,
+                                    6: transmittance_at_depth_6,
+                                    8: transmittance_at_depth_8,
+                                }[n_mom]
+                                T_at = trans_fn(
+                                    b0v, evens, odds, dw, m_bias, m_overest
+                                )
                             # b_0 below threshold -> no absorbance recorded
                             # (resolveMoments discard, MomentOIT.glsl:421).
                             T_at = jnp.where(
@@ -568,31 +618,46 @@ def _mlab_kernel(
                                 selh(bc) * sa,
                                 sa,
                             )
-                        for j in range(K):
-                            dj = d_refs[j][k : k + 1, :]
-                            take = has & (carry[0] < dj)
-                            cur = (
-                                dj,
-                                r_refs[j][k : k + 1, :],
-                                g_refs[j][k : k + 1, :],
-                                b_refs[j][k : k + 1, :],
-                                a_refs[j][k : k + 1, :],
+                        # Vectorized insertion sort over the [K, P] node
+                        # buffer: pos = #{j : d_j <= carry} (strict-< swap
+                        # semantics — the carry lands AFTER equal depths),
+                        # rows < pos keep, row pos takes the carry, rows >
+                        # pos shift down.  pos == K (including the
+                        # has=False carry, whose depth 2.0 ties the empty-
+                        # node sentinel) is automatically a no-op.
+                        dS, rS, gS, bS, aS = node_scr
+                        d_all = dS[:]
+                        cd = carry[0]
+                        kidx = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+                        pos = jnp.sum(
+                            jnp.where(d_all <= cd, 1, 0), axis=0,
+                            keepdims=True,
+                        )
+
+                        def ins(all_v, c_v):
+                            shifted = jnp.concatenate(
+                                [all_v[0:1], all_v[: K - 1]], axis=0
                             )
-                            d_refs[j][k : k + 1, :] = jnp.where(take, carry[0], cur[0])
-                            r_refs[j][k : k + 1, :] = jnp.where(take, carry[1], cur[1])
-                            g_refs[j][k : k + 1, :] = jnp.where(take, carry[2], cur[2])
-                            b_refs[j][k : k + 1, :] = jnp.where(take, carry[3], cur[3])
-                            a_refs[j][k : k + 1, :] = jnp.where(take, carry[4], cur[4])
-                            carry = tuple(
-                                jnp.where(take, cur[i], carry[i])
-                                for i in range(5)
+                            return jnp.where(
+                                kidx < pos, all_v,
+                                jnp.where(kidx == pos, c_v, shifted),
                             )
+
+                        olds = (d_all, rS[:], gS[:], bS[:], aS[:])
+                        news = [ins(o, c) for o, c in zip(olds, carry)]
                         if not no_overflow:
-                            # Evicted fragment: composite into the last node
-                            # (MLAB overflow merge), weighted by its remaining
+                            # Evicted fragment (the old last node if an
+                            # insert happened, else the carry itself):
+                            # composite into the last node (MLAB overflow
+                            # merge), weighted by its remaining
                             # transmittance under the node.
-                            evict_has = has & (carry[0] < 2.0)
-                            aK = a_refs[K - 1][k : k + 1, :]
+                            ev_sel = pos < K
+                            evs = [
+                                jnp.where(ev_sel, o[K - 1 : K, :], c)
+                                for o, c in zip(olds, carry)
+                            ]
+                            evict_has = has & (evs[0] < 2.0)
+                            aK = news[4][K - 1 : K, :]
                             w = 1.0 - aK
 
                             def merge(c):
@@ -600,16 +665,27 @@ def _mlab_kernel(
                                 # poison the node even with w == 0
                                 return jnp.where(evict_has, w * c, 0.0)
 
-                            r_refs[K - 1][k : k + 1, :] += merge(carry[1])
-                            g_refs[K - 1][k : k + 1, :] += merge(carry[2])
-                            b_refs[K - 1][k : k + 1, :] += merge(carry[3])
-                            a_refs[K - 1][k : k + 1, :] = jnp.minimum(
-                                aK + merge(carry[4]), 1.0
+                            lastrow = kidx == (K - 1)
+                            for ch in (1, 2, 3):
+                                news[ch] = jnp.where(
+                                    lastrow, news[ch] + merge(evs[ch]),
+                                    news[ch],
+                                )
+                            news[4] = jnp.where(
+                                lastrow,
+                                jnp.minimum(news[4] + merge(evs[4]), 1.0),
+                                news[4],
                             )
+                        for ref, new in zip(node_scr, news):
+                            ref[:] = new
                         tw = jnp.where(win, _BIG, tw)
 
-                zK = jnp.max(d_refs[K - 1][k : k + 1, :])
-                aK_min = jnp.min(a_refs[K - 1][k : k + 1, :])
+                if store_mode in _ACCUM_MODES:
+                    zK = jnp.float32(2.0)
+                    aK_min = jnp.float32(0.0)
+                else:
+                    zK = jnp.max(node_scr[0][K - 1 : K, :])
+                    aK_min = jnp.min(node_scr[4][K - 1 : K, :])
                 c_next = jnp.where(exit_now, nch, c + 1)
                 return (c_next, zK, aK_min)
 
@@ -617,19 +693,26 @@ def _mlab_kernel(
                 cond, body,
                 (jnp.int32(0), jnp.float32(2.0), jnp.float32(0.0)),
             )
+            if store_mode not in _ACCUM_MODES:
+                # Final node state -> per-node output planes.
+                for group, ref in zip(
+                    (d_refs, r_refs, g_refs, b_refs, a_refs), node_scr
+                ):
+                    for j in range(K):
+                        group[j][k : k + 1, :] = ref[j : j + 1, :]
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
-        "use_bands", "store_mode", "alpha_from_rows", "n_mom",
+        "use_bands", "store_mode", "alpha_from_rows", "n_mom", "trig",
         "no_overflow", "deferred_shade", "interpret",
     ),
 )
 def rasterize_capsules_mlab(
     csr: SortedBinning,
-    params: jnp.ndarray,  # [20]
+    params: jnp.ndarray,  # [24] (see tube_raster.prepare_capsule_frame)
     width: int,
     height: int,
     tile_w: int = 32,
@@ -641,6 +724,7 @@ def rasterize_capsules_mlab(
     store_mode: str = "shade",
     alpha_from_rows: bool = False,
     n_mom: int = 4,
+    trig: bool = False,  # trigonometric moments (TrigonometricMomentMath)
     moments: jnp.ndarray = None,  # [1 + n_mom, n_tiles, P] for mboit_resolve
     peel: jnp.ndarray = None,  # [n_tiles, P] znd threshold (depth peeling)
     no_overflow: bool = False,  # drop evicted fragments (exact peeling pass)
@@ -687,6 +771,7 @@ def rasterize_capsules_mlab(
         store_mode=store_mode,
         alpha_from_rows=alpha_from_rows,
         n_mom=n_mom,
+        trig=trig,
         use_peel=peel is not None,
         no_overflow=no_overflow,
         deferred_shade=deferred_shade,
@@ -725,6 +810,9 @@ def rasterize_capsules_mlab(
         scratch_shapes=[
             pltpu.VMEM((2, R, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            # [K, P] node-buffer channels (d, r, g, b, a) for the
+            # vectorized insertion sort.
+            *([pltpu.VMEM((K, P), jnp.float32)] * 5),
         ],
     )
     outs = pl.pallas_call(

@@ -25,6 +25,10 @@ import numpy as np
 
 from linevis_tpu.kernels.raster_capsule_oit import rasterize_capsules_mlab
 from linevis_tpu.kernels.raster_xla import unpack_tiles
+from linevis_tpu.kernels.trig_moment_math import (
+    TRIG_BIAS,
+    wrapping_zone_parameters,
+)
 from linevis_tpu.render.camera import Camera
 from linevis_tpu.render.pipeline import RasterSettings
 from linevis_tpu.render.transfer_function import TransferFunction
@@ -382,7 +386,7 @@ def render_tubes_mlab_buckets(
 @partial(
     jax.jit,
     static_argnames=("settings", "n_mom", "opacity", "overestimation",
-                     "moment_bias"),
+                     "moment_bias", "trigonometric"),
 )
 def render_tubes_mboit(
     scene: CapsuleScene,
@@ -394,16 +398,22 @@ def render_tubes_mboit(
     opacity: float = 0.3,
     overestimation: float = 0.1,
     moment_bias: float = None,
+    trigonometric: bool = False,
 ) -> jnp.ndarray:
-    """Moment-based OIT (reference MBOITRenderer.cpp:688, power moments,
-    single precision).  Two fragment passes over the same binning: pass 1
-    accumulates absorbance power moments, pass 2 reconstructs per-fragment
+    """Moment-based OIT (reference MBOITRenderer.cpp:688, single
+    precision).  Two fragment passes over the same binning: pass 1
+    accumulates absorbance moments, pass 2 reconstructs per-fragment
     transmittance and accumulates weighted color; the blend follows
-    MBOITBlend.glsl:100-101.
+    MBOITBlend.glsl:100-101.  `trigonometric` selects the reference's
+    `usePowerMoments = false` mode (complex circle-point moments,
+    TrigonometricMomentMath.glsl) with n_mom/2 complex moments.
     """
     if moment_bias is None:
-        # FLOAT_32 defaults (MBOITRenderer.cpp:134-145).
-        moment_bias = {4: 5e-7, 6: 5e-6, 8: 5e-5}[n_mom]
+        # FLOAT_32 defaults (MBOITRenderer.cpp:134-161).
+        if trigonometric:
+            moment_bias = TRIG_BIAS[n_mom]
+        else:
+            moment_bias = {4: 5e-7, 6: 5e-6, 8: 5e-5}[n_mom]
     csr, params, basis = prepare_capsule_frame(
         scene, view_proj, camera_position, proj_ab, settings
     )
@@ -421,13 +431,18 @@ def render_tubes_mboit(
     params = params.at[14].set(opacity)
     params = params.at[15].set(jnp.log(zmin)).at[16].set(jnp.log(zmax))
     params = params.at[17].set(moment_bias).at[18].set(overestimation)
+    if trigonometric:
+        wzp = wrapping_zone_parameters()
+        params = params.at[20].set(wzp[1]).at[21].set(wzp[2])
+        params = params.at[22].set(wzp[3])
 
     interpret = jax.default_backend() == "cpu"
     depths, rgb, alpha = rasterize_capsules_mlab(
         csr, params, settings.width, settings.height,
         settings.tile_w, settings.tile_h, 2,
         settings.tf_color, settings.tf_opacity,
-        store_mode="mboit_gen", n_mom=n_mom, interpret=interpret,
+        store_mode="mboit_gen", n_mom=n_mom, trig=trigonometric,
+        interpret=interpret,
     )
     b0 = depths[0]
     odd_ch = (rgb[0, 0], rgb[1, 0], rgb[2, 0], alpha[0])[: n_mom // 2]
@@ -438,8 +453,8 @@ def render_tubes_mboit(
         csr, params, settings.width, settings.height,
         settings.tile_w, settings.tile_h, 1,
         settings.tf_color, settings.tf_opacity,
-        store_mode="mboit_resolve", n_mom=n_mom, moments=moments,
-        interpret=interpret,
+        store_mode="mboit_resolve", n_mom=n_mom, trig=trigonometric,
+        moments=moments, interpret=interpret,
     )
     accum_rgb = rgb2[:, 0]
     accum_a = jnp.maximum(alpha2[0], 1e-6)

@@ -136,11 +136,13 @@ class MLABRenderer(_MlabBase):
 
 class PerPixelLinkedListRenderer(_MlabBase):
     """Reference RENDERING_MODE_PER_PIXEL_LINKED_LIST. Realized as an
-    exact K-nearest sorted blend with K=16 (bounded-memory redesign of the
-    unbounded linked list; equal results for depth complexity <= K)."""
+    exact K-nearest sorted blend with K=32 (bounded-memory redesign of the
+    unbounded linked list; equal results for depth complexity <= K, and
+    SSIM 0.993 vs the exact ray-traced oracle at the reference's
+    "very large" depth complexity — docs/BOUNDED_K_FIDELITY.md)."""
 
     name = "Per-Pixel Linked Lists"
-    K = 16
+    K = 32
 
 
 class WBOITRenderer(LineRenderer):
@@ -227,17 +229,22 @@ class MLABBucketRenderer(_OitImageBase):
 
 
 class MBOITRenderer(LineRenderer):
-    """Reference RENDERING_MODE_MBOIT (MBOITRenderer.cpp:688): power-moment
-    transmittance reconstruction, 4 moments / float32 defaults."""
+    """Reference RENDERING_MODE_MBOIT (MBOITRenderer.cpp:688): moment
+    transmittance reconstruction, 4 moments / float32 / power defaults.
+    `usePowerMoments = false` (MBOITRenderer.hpp:144) switches to
+    trigonometric moments (TrigonometricMomentMath.glsl)."""
 
     name = "Moment-Based OIT"
     n_mom = 4
+    use_power_moments = True
     TILE_W, TILE_H = 16, 8
 
     def set_new_settings(self, settings: SettingsMap) -> None:
         super().set_new_settings(settings)
         if settings.has_key("numMoments"):
             self.n_mom = settings.get_int("numMoments")
+        if settings.has_key("usePowerMoments"):
+            self.use_power_moments = settings.get_bool("usePowerMoments")
 
     def render(self, camera: Camera) -> np.ndarray:
         import jax.numpy as jnp
@@ -253,6 +260,7 @@ class MBOITRenderer(LineRenderer):
             self._raster_settings(camera),
             n_mom=self.n_mom,
             opacity=self.opacity,
+            trigonometric=not self.use_power_moments,
         )
         return np.moveaxis(np.asarray(img), 0, -1)
 

@@ -240,10 +240,12 @@ def prepare_capsule_frame(
     # 9 zA, 10 zB, 11 dmin, 12 dmax, 13 depth-cue, 14 opacity scale,
     # 15 logDepthMin, 16 logDepthMax, 17 moment bias, 18 overestimation
     # (15-18 are MBOIT, MomentOIT.glsl uniforms), 19 px scale: world units
-    # per pixel at view depth 1 (the opaque kernel's coverage AA).
+    # per pixel at view depth 1 (the opaque kernel's coverage AA),
+    # 20-22 MBOIT wrapping-zone y/z/w (trigonometric moments,
+    # MBOITUtils.cpp:40-54), 23 spare.
     px_scale = (2.0 / settings.height) * jnp.linalg.norm(basis[:, 1])
     params = jnp.concatenate(
-        [basis.reshape(-1), proj_ab, jnp.zeros((9,), jnp.float32)]
+        [basis.reshape(-1), proj_ab, jnp.zeros((13,), jnp.float32)]
     )
     params = params.at[19].set(px_scale)
     return csr, params, basis

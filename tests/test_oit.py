@@ -1,5 +1,6 @@
 """MLAB transparency tests vs exact back-to-front blending."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -130,6 +131,37 @@ def test_mboit_vs_exact_blend():
         np.testing.assert_allclose(
             img[..., 3], exact[..., 3], atol=2e-3,
         )
+        diff = np.abs(img[..., :3] - exact[..., :3])
+        assert diff.mean() < 0.02, (n_mom, diff.mean())
+        assert diff.max() < 0.25, (n_mom, diff.max())
+
+
+@pytest.mark.slow
+def test_mboit_trigonometric_vs_exact_blend():
+    """Trigonometric moments (usePowerMoments = false,
+    TrigonometricMomentMath.glsl) approximate exact sorted blending at
+    least as well as power moments on a layered scene."""
+    import jax.numpy as jnp
+    from linevis_tpu.render.oit import render_tubes_mboit
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    scene = _layered_scene(3)
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+
+    exact = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=0.4)
+    for n_mom in (4, 6, 8):
+        img = np.moveaxis(
+            np.asarray(render_tubes_mboit(
+                scene, vp, cp, ab, S, n_mom=n_mom, opacity=0.4,
+                trigonometric=True,
+            )), 0, -1,
+        )
+        assert np.isfinite(img).all()
+        np.testing.assert_allclose(img[..., 3], exact[..., 3], atol=2e-3)
         diff = np.abs(img[..., :3] - exact[..., :3])
         assert diff.mean() < 0.02, (n_mom, diff.mean())
         assert diff.max() < 0.25, (n_mom, diff.max())
