@@ -12,7 +12,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if __name__ == "__main__":
+    # Main-only: tests import synth_v3_blocks from this module, and enabling
+    # the persistent cache in pytest pollutes the TPU bench cache with CPU
+    # executables (and one cache write aborted a full suite run).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 import numpy as np
 

@@ -25,3 +25,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(12345)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The suite compiles hundreds of interpret-mode Pallas graphs; keeping
+    them all live grew the process until XLA's compiler crashed
+    (SIGSEGV/SIGABRT mid-compile ~2/3 through a full run).  Per-module
+    eviction keeps peak memory flat at a small re-compile cost within
+    parametrized modules.
+    """
+    yield
+    jax.clear_caches()

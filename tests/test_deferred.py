@@ -2,6 +2,7 @@
 Atomic Loop 64 — reference `src/Renderers/Deferred/DeferredRenderer.*`,
 `src/Renderers/OIT/AtomicLoop64Renderer.cpp:283`."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -90,6 +91,7 @@ def test_motion_vectors_static_and_panning():
     assert abs(mv2[1][fg2].mean()) < abs(mv2[0][fg2].mean()) * 0.5
 
 
+@pytest.mark.slow
 def test_temporal_upscaler_converges_static():
     """Static scene + zero motion: history converges to the (constant)
     upsampled input and stays clamped within its neighborhood."""
@@ -115,6 +117,7 @@ def test_temporal_upscaler_converges_static():
     np.testing.assert_allclose(out, ref, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_deferred_renderer_mode_and_upscaling():
     from linevis_tpu.core.settings import SettingsMap
     from linevis_tpu.core.trajectories import Trajectories

@@ -24,8 +24,17 @@ from tests.golden_scenes import ALL_SCENES
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
+# Fast-tier goldens: one per core pipeline family (~20 s each on 1 CPU).
+# The remaining scenes run in the full tier (-m "").
+_FAST = {"opaque_tubes", "mlab_transparent", "mboit", "depth_peeling",
+         "rtao"}
 
-@pytest.mark.parametrize("name", sorted(ALL_SCENES))
+
+@pytest.mark.parametrize(
+    "name",
+    [n if n in _FAST else pytest.param(n, marks=pytest.mark.slow)
+     for n in sorted(ALL_SCENES)],
+)
 def test_golden_ssim(name):
     path = os.path.join(GOLDEN_DIR, f"{name}.png")
     if not os.path.exists(path):

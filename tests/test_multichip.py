@@ -1,8 +1,10 @@
 """Image-space sharding over the 8-device virtual CPU mesh."""
 
+import pytest
 import numpy as np
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
 
@@ -42,6 +44,7 @@ def test_sharded_matches_single():
     assert np.abs(a - b).max(axis=0)[close].max() < 5e-3
 
 
+@pytest.mark.slow
 def test_mlab_sharded_matches_single_device():
     """Transparent (MLAB) image-space sharding: 8-band render == single
     device, bit-for-bit (per-pixel OIT has no cross-band coupling)."""
@@ -95,6 +98,7 @@ def test_mlab_sharded_matches_single_device():
     assert diff.max() < 0.2, diff.max()
 
 
+@pytest.mark.slow
 def test_rtao_sharded_psum_accumulator():
     """Ray-sharded RTAO: n chips x num_samples rays psum-averaged. The
     8-chip estimate (32 effective rays) must land closer to a high-spp

@@ -1,6 +1,7 @@
 """Iterative re-cast transparent ray tracer (reference
 `TubeRayTracing.glsl:61-82` / VulkanRayTracer analytic LSS mode)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -70,6 +71,7 @@ def test_raytraced_transmittance_saturates():
     assert ((a > 0.99) | (a < 0.01)).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_mlat_matches_recast_on_disjoint_segments():
     """MLAT K-node payload (MlatInsert.glsl role) == the exact re-cast
     loop when depth complexity <= K and no coincident joint surfaces
@@ -99,6 +101,7 @@ def test_mlat_matches_recast_on_disjoint_segments():
     assert diff.max() < 1e-2, diff.max()
 
 
+@pytest.mark.slow
 def test_registry_vulkan_ray_tracer_mode():
     """'Vulkan Ray Tracer' resolves to the exact re-cast tracer with
     jittered accumulation + move reset (VulkanRayTracer.hpp:135-143)."""

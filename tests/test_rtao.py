@@ -1,5 +1,6 @@
 """RTAO: grid occlusion tracing vs brute-force ray-capsule tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,7 @@ def test_grid_occlusion_matches_bruteforce(rng):
     assert wrong <= 3, f"{wrong}/{n_rays} rays disagree"
 
 
+@pytest.mark.slow
 def test_rtao_darkens_concave(rng):
     """A plane of parallel lines: AO near neighbors < AO of an isolated line."""
     L = 9
@@ -123,6 +125,7 @@ def test_registry_rtao_accumulates_and_resets():
     assert r._frame == 1  # reset on move
 
 
+@pytest.mark.slow
 def test_rtao_denoiser_variants():
     """AO denoiser chain (reference RTAO optional denoiser): both
     variants produce finite images; the spatially-hashed AO at 1 spp is

@@ -65,6 +65,7 @@ def test_skybox_gradient():
     np.testing.assert_allclose(down, [0.1, 0.05, 0.01], atol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("grid_res", [1, 8])
 def test_estimators_agree(grid_res):
     """Delta vs spectral-delta vs ratio tracking: equal image means
@@ -80,6 +81,7 @@ def test_estimators_agree(grid_res):
         assert abs(vals[0] - vals[i]) < 0.015, means
 
 
+@pytest.mark.slow
 def test_estimator_seed_stability():
     grid = _cloud_block(res=8, density=0.8, boundary=0.1)
     m0 = _mean_image("Delta Tracking", seed=0, grid=grid)
@@ -152,6 +154,7 @@ def test_first_scatter_features():
     assert (pts <= np.asarray(b_max) + 1e-4).all()
 
 
+@pytest.mark.slow
 def test_denoiser_reduces_vpt_error():
     """EAW with first-scatter position features: denoised low-spp VPT is
     closer (MSE) to a high-spp reference than the raw low-spp render —
@@ -205,6 +208,7 @@ def test_vpt_renderer_denoiser_setting():
         assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 def test_residual_ratio_tracking_mode():
     """Residual Ratio Tracking (ResidualRatioTracking.glsl:85-239): the
     reference's reservoir-sampled super-voxel estimator.  Upstream marks
@@ -218,6 +222,7 @@ def test_residual_ratio_tracking_mode():
     assert 0.4 * m_dt < m_rr < 1.6 * m_dt, (m_rr, m_dt)
 
 
+@pytest.mark.slow
 def test_interpolation_modes():
     """Nearest / Stochastic / Trilinear (VolumetricPathTracingPass.hpp:
     67-74): stochastic jittered-nearest equals trilinear in expectation;
