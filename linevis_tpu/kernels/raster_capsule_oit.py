@@ -117,6 +117,12 @@ def _mlab_kernel(
     # VREG sublanes) instead of K chained [1, P] row swaps; the final
     # node state is copied to the per-node output planes at tile end.
     node_scr = refs[n_out + 2 : n_out + 7]
+    # Candidate-depth scratch [2C, P]: holding tw in VMEM lets each of
+    # the K extraction sweeps live under pl.when, gated on the chunk's
+    # max per-pixel hit count — thin tubes leave most chunks with far
+    # fewer than K hits, and a skipped sweep saves ~7 full [2C, P]
+    # reduction passes (min + tie window + 5 masked channel sums).
+    tw_scr = refs[n_out + 7]
     d_refs = out[0:K]
     r_refs = out[K : 2 * K]
     g_refs = out[2 * K : 3 * K]
@@ -564,121 +570,134 @@ def _mlab_kernel(
                             )
 
                     extraction_slots = 0 if store_mode in _ACCUM_MODES else K
-                    # K nearest extractions + insertion into the node array.
+                    if extraction_slots:
+                        tw_scr[:] = tw
+                        nhit = jnp.max(
+                            jnp.sum(jnp.where(tw < _BIG, 1, 0), axis=0)
+                        )
+                    # K nearest extractions + insertion into the node
+                    # array.  Sweep s only runs while some pixel still has
+                    # more than s live candidates; a skipped sweep is an
+                    # exact no-op (the empty carry inserts at pos == K), so
+                    # gating changes nothing but the work done.
                     for _slot in range(extraction_slots):
-                        bt = jnp.min(tw, axis=0, keepdims=True)  # [1, P]
-                        has = bt < _BIG
-                        # Near-ties are duplicated geometry (coincident caps
-                        # of adjacent segments): average them, which both
-                        # breaks the tie and dedups the joint (the reference
-                        # tube mesh has a single shared surface there).
-                        # The window is a relative epsilon, not exact fp
-                        # equality — coincident-surface intersections computed
-                        # through different ray arithmetic (e.g. the band
-                        # window of the sharded path) differ by ~1 ulp.
-                        win = tw <= bt + jnp.abs(bt) * 1e-6
-                        nwin = jnp.maximum(
-                            jnp.sum(
-                                jnp.where(win, 1.0, 0.0), axis=0, keepdims=True
-                            ),
-                            1.0,
-                        )
 
-                        def sel(v, win=win, nwin=nwin):
-                            return (
+                        @pl.when(nhit > _slot)
+                        def _(_slot=_slot):
+                            tw_s = tw_scr[:]
+                            bt = jnp.min(tw_s, axis=0, keepdims=True)
+                            has = bt < _BIG
+                            # Near-ties are duplicated geometry (coincident caps
+                            # of adjacent segments): average them, which both
+                            # breaks the tie and dedups the joint (the reference
+                            # tube mesh has a single shared surface there).
+                            # The window is a relative epsilon, not exact fp
+                            # equality — coincident-surface intersections computed
+                            # through different ray arithmetic (e.g. the band
+                            # window of the sharded path) differ by ~1 ulp.
+                            win = tw_s <= bt + jnp.abs(bt) * 1e-6
+                            nwin = jnp.maximum(
                                 jnp.sum(
-                                    jnp.where(win, v, 0.0), axis=0,
-                                    keepdims=True,
+                                    jnp.where(win, 1.0, 0.0), axis=0, keepdims=True
+                                ),
+                                1.0,
+                            )
+
+                            def sel(v, win=win, nwin=nwin):
+                                return (
+                                    jnp.sum(
+                                        jnp.where(win, v, 0.0), axis=0,
+                                        keepdims=True,
+                                    )
+                                    / nwin
                                 )
-                                / nwin
+
+                            vz = bt * invlen
+                            znd = jnp.where(
+                                has, zA - zB / jnp.maximum(vz, 1e-12), 2.0
                             )
 
-                        vz = bt * invlen
-                        znd = jnp.where(
-                            has, zA - zB / jnp.maximum(vz, 1e-12), 2.0
-                        )
+                            # When no candidate remains (has=False), win covers
+                            # every (invalid) candidate and sel() would average
+                            # their garbage — invalid-candidate shading can be
+                            # NaN under Mosaic's transcendental lowering, and
+                            # IEEE 0*NaN = NaN would poison the overflow merge.
+                            # Gate every carried quantity on `has`.
+                            def selh(v):
+                                return jnp.where(has, sel(v), 0.0)
 
-                        # When no candidate remains (has=False), win covers
-                        # every (invalid) candidate and sel() would average
-                        # their garbage — invalid-candidate shading can be
-                        # NaN under Mosaic's transcendental lowering, and
-                        # IEEE 0*NaN = NaN would poison the overflow merge.
-                        # Gate every carried quantity on `has`.
-                        def selh(v):
-                            return jnp.where(has, sel(v), 0.0)
-
-                        sa = selh(ac)
-                        if store_mode == "gather":
-                            carry = (znd, selh(rc), selh(gc), selh(bc), sa)
-                        else:
-                            carry = (
-                                znd,
-                                selh(rc) * sa,
-                                selh(gc) * sa,
-                                selh(bc) * sa,
-                                sa,
-                            )
-                        # Vectorized insertion sort over the [K, P] node
-                        # buffer: pos = #{j : d_j <= carry} (strict-< swap
-                        # semantics — the carry lands AFTER equal depths),
-                        # rows < pos keep, row pos takes the carry, rows >
-                        # pos shift down.  pos == K (including the
-                        # has=False carry, whose depth 2.0 ties the empty-
-                        # node sentinel) is automatically a no-op.
-                        dS, rS, gS, bS, aS = node_scr
-                        d_all = dS[:]
-                        cd = carry[0]
-                        kidx = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
-                        pos = jnp.sum(
-                            jnp.where(d_all <= cd, 1, 0), axis=0,
-                            keepdims=True,
-                        )
-
-                        def ins(all_v, c_v):
-                            shifted = jnp.concatenate(
-                                [all_v[0:1], all_v[: K - 1]], axis=0
-                            )
-                            return jnp.where(
-                                kidx < pos, all_v,
-                                jnp.where(kidx == pos, c_v, shifted),
-                            )
-
-                        olds = (d_all, rS[:], gS[:], bS[:], aS[:])
-                        news = [ins(o, c) for o, c in zip(olds, carry)]
-                        if not no_overflow:
-                            # Evicted fragment (the old last node if an
-                            # insert happened, else the carry itself):
-                            # composite into the last node (MLAB overflow
-                            # merge), weighted by its remaining
-                            # transmittance under the node.
-                            ev_sel = pos < K
-                            evs = [
-                                jnp.where(ev_sel, o[K - 1 : K, :], c)
-                                for o, c in zip(olds, carry)
-                            ]
-                            evict_has = has & (evs[0] < 2.0)
-                            aK = news[4][K - 1 : K, :]
-                            w = 1.0 - aK
-
-                            def merge(c):
-                                # select, don't multiply: w*NaN would
-                                # poison the node even with w == 0
-                                return jnp.where(evict_has, w * c, 0.0)
-
-                            lastrow = kidx == (K - 1)
-                            for ch in (1, 2, 3):
-                                news[ch] = jnp.where(
-                                    lastrow, news[ch] + merge(evs[ch]),
-                                    news[ch],
+                            sa = selh(ac)
+                            if store_mode == "gather":
+                                carry = (znd, selh(rc), selh(gc), selh(bc), sa)
+                            else:
+                                carry = (
+                                    znd,
+                                    selh(rc) * sa,
+                                    selh(gc) * sa,
+                                    selh(bc) * sa,
+                                    sa,
                                 )
-                            news[4] = jnp.where(
-                                lastrow,
-                                jnp.minimum(news[4] + merge(evs[4]), 1.0),
-                                news[4],
+                            # Vectorized insertion sort over the [K, P] node
+                            # buffer: pos = #{j : d_j <= carry} (strict-< swap
+                            # semantics — the carry lands AFTER equal depths),
+                            # rows < pos keep, row pos takes the carry, rows >
+                            # pos shift down.  pos == K (including the
+                            # has=False carry, whose depth 2.0 ties the empty-
+                            # node sentinel) is automatically a no-op.
+                            dS, rS, gS, bS, aS = node_scr
+                            d_all = dS[:]
+                            cd = carry[0]
+                            kidx = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+                            pos = jnp.sum(
+                                jnp.where(d_all <= cd, 1, 0), axis=0,
+                                keepdims=True,
                             )
-                        for ref, new in zip(node_scr, news):
-                            ref[:] = new
-                        tw = jnp.where(win, _BIG, tw)
+
+                            def ins(all_v, c_v):
+                                shifted = jnp.concatenate(
+                                    [all_v[0:1], all_v[: K - 1]], axis=0
+                                )
+                                return jnp.where(
+                                    kidx < pos, all_v,
+                                    jnp.where(kidx == pos, c_v, shifted),
+                                )
+
+                            olds = (d_all, rS[:], gS[:], bS[:], aS[:])
+                            news = [ins(o, c) for o, c in zip(olds, carry)]
+                            if not no_overflow:
+                                # Evicted fragment (the old last node if an
+                                # insert happened, else the carry itself):
+                                # composite into the last node (MLAB overflow
+                                # merge), weighted by its remaining
+                                # transmittance under the node.
+                                ev_sel = pos < K
+                                evs = [
+                                    jnp.where(ev_sel, o[K - 1 : K, :], c)
+                                    for o, c in zip(olds, carry)
+                                ]
+                                evict_has = has & (evs[0] < 2.0)
+                                aK = news[4][K - 1 : K, :]
+                                w = 1.0 - aK
+
+                                def merge(c):
+                                    # select, don't multiply: w*NaN would
+                                    # poison the node even with w == 0
+                                    return jnp.where(evict_has, w * c, 0.0)
+
+                                lastrow = kidx == (K - 1)
+                                for ch in (1, 2, 3):
+                                    news[ch] = jnp.where(
+                                        lastrow, news[ch] + merge(evs[ch]),
+                                        news[ch],
+                                    )
+                                news[4] = jnp.where(
+                                    lastrow,
+                                    jnp.minimum(news[4] + merge(evs[4]), 1.0),
+                                    news[4],
+                                )
+                            for ref, new in zip(node_scr, news):
+                                ref[:] = new
+                            tw_scr[:] = jnp.where(win, _BIG, tw_s)
 
                 if store_mode in _ACCUM_MODES:
                     zK = jnp.float32(2.0)
@@ -813,6 +832,9 @@ def rasterize_capsules_mlab(
             # [K, P] node-buffer channels (d, r, g, b, a) for the
             # vectorized insertion sort.
             *([pltpu.VMEM((K, P), jnp.float32)] * 5),
+            # [2C, P] candidate depths: lets the K extraction sweeps be
+            # individually skipped (pl.when on the live hit count).
+            pltpu.VMEM((2 * C, P), jnp.float32),
         ],
     )
     outs = pl.pallas_call(
