@@ -71,6 +71,8 @@ def get_test_modes_oit(
             numMoments=n_mom)
     add("MBOIT 4 Trigonometric Moments", "Moment-Based OIT",
         numMoments=4, usePowerMoments=False)
+    add("MBOIT 4 Power Moments UNorm16", "Moment-Based OIT",
+        numMoments=4, pixelFormat="UNorm")
     add("WBOIT", "WBOIT")
     add("Depth Peeling", "Depth Peeling")
     add("Depth Complexity", "Depth Complexity")

@@ -402,3 +402,115 @@ def transmittance_at_depth_8(b0, b_even, b_odd, depth, bias, overestimation):
     P_0 = -P_0 * z0 + f0
     absorbance = P_0 + P1 * b[0] + P2 * b[1] + P3 * b[2] + P4 * b[3]
     return jnp.clip(jnp.exp(-b0 * absorbance), 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# UNORM16 pixel format (MBOIT_PIXEL_FORMAT_UNORM_16)
+# ---------------------------------------------------------------------------
+# Quantization basis change + offsets for 16-bit-per-moment storage
+# (MomentMath.glsl:156-243 offsetMoments / quantizeMoments /
+# offsetAndDequantizeMoments) and the matching UNORM bias vectors
+# (MomentOIT.glsl:459,514,552).  The transforms are linear, so our
+# emulation applies them once to the accumulated normalized moments and
+# rounds to the 65535-step UNORM grid between the two kernel passes —
+# the storage-precision behavior of the reference's rgba16 targets
+# (per-fragment sequential rounding inside the ROV loop is not
+# reproduced; its error is dominated by the grid rounding emulated
+# here).
+
+UNORM_BIAS_VECTOR = {
+    4: (0.0, 0.628, 0.0, 0.628),
+    6: (0.0, 0.5566, 0.0, 0.489, 0.0, 0.47869382),
+    8: (0.0, 0.42474916387959866, 0.0, 0.22407802675585284,
+        0.0, 0.15369230769230768, 0.0, 0.12900440529089119),
+}
+# FLOAT_32 -> UNORM_16 moment_bias defaults (MBOITRenderer.cpp:134-161).
+UNORM_MOMENT_BIAS = {4: 6e-4, 6: 6e-3, 8: 2.5e-2}
+UNORM_MOMENT_BIAS_TRIG = {4: 4e-3, 6: 6.5e-3, 8: 8.5e-3}
+
+# out = A @ v with A rows = output index (GLSL constructors are
+# column-major; the 8-moment path uses mul(M, v) = v*M, i.e. rows as
+# listed).  Verified by the round-trip tests in test_moment_math.py.
+_Q_ODD = {
+    4: ((1.5, -2.0), (0.8660254037844386, -0.3849001794597505)),
+    6: ((2.5, -10.0, 8.0),
+        (-1.87499864450, 4.20757543111, -1.83257678661),
+        (1.26583039016, -1.47644882902, 0.71061660238)),
+    8: ((3.48044635732474, -27.5760737514826, 55.1267384344761,
+         -31.5311110403183),
+        (1.26797185782836, -0.928755808743913, -2.07520453231032,
+         1.23598848322588),
+        (-2.1671560004294, 6.17950199592966, -0.276515571579297,
+         -4.23583042392097),
+        (0.974332879165755, -0.443426830933027, -0.360491648368785,
+         0.310149466050223)),
+}
+_Q_EVEN = {
+    4: ((4.0, -4.0), (0.5, 0.5)),
+    6: ((4.0, -4.0, 0.0),
+        (9.0, -24.0, 16.0),
+        (-0.57759806484, 4.61936647543, -3.07953906655)),
+    8: ((0.280504133158527, -0.757633844606942, 0.392179589334688,
+         -0.887531871812237),
+        (-2.01362265883247, 0.221551373038988, -1.06107954265125,
+         2.83887201588367),
+        (-7.31010494985321, 13.9855979699139, -0.114305766176437,
+         -7.4361899359832),
+        (-15.8954215629556, 79.6186327084103, -127.457278992502,
+         63.7349456687829)),
+}
+_D_ODD = {
+    4: ((-1.0 / 3.0, 1.7320508075688772), (-0.75, 1.299038105676658)),
+    6: ((-0.02877789192, 0.47635550422, 1.55242808973),
+        (0.09995235706, 0.84532580931, 1.05472570761),
+        (0.25893353755, 0.90779616657, 0.83327335647)),
+    8: ((-0.00482399708502382, -0.423201508674231, 0.0348312382605129,
+         1.67179208266592),
+        (-0.0233402218644408, -0.832829097046478, 0.0193406040499625,
+         1.21021509068975),
+        (-0.010888537031885, -0.926393772997063, -0.11723394414779,
+         0.983723301818275),
+        (-0.0308713357806732, -0.937989172670245, -0.218033377677099,
+         0.845991731322996)),
+}
+_D_EVEN = {
+    4: ((0.125, 1.0), (-0.125, 1.0)),
+    6: ((1.253044e-05, 0.16668494186, 0.86602540579),
+        (-0.24998746956, 0.16668494186, 0.86602540579),
+        (-0.37498825271, 0.21876713299, 0.81189881793)),
+    8: ((-0.976220278891035, -0.456139260269401, -0.0504335521016742,
+         0.000838800390651085),
+        (-1.04828341778299, -0.229726640510149, 0.0259608334616091,
+         -0.00133632693205861),
+        (-1.03115268628604, -0.077844420809897, 0.00443408851014257,
+         -0.0103744938457406),
+        (-0.996038443434636, 0.0175438624416783, -0.0361414253243963,
+         -0.00317839994022725)),
+}
+_OFF_EVEN = {
+    4: (0.0, 0.0),
+    6: (0.0, 0.0, 0.018888946),
+    8: (0.972481993925964, 1.0, 0.999179192513328, 0.991778293073131),
+}
+
+
+def _matvec(A, v):
+    return [sum(A[i][j] * v[j] for j in range(len(v)))
+            for i in range(len(A))]
+
+
+def quantize_moments_unorm16(odds, evens, n_mom):
+    """Normalized raw power moments -> the [0, 1] UNORM16 representation
+    (quantizeMoments + offsetMoments(+1))."""
+    oq = _matvec(_Q_ODD[n_mom], list(odds))
+    eq = _matvec(_Q_EVEN[n_mom], list(evens))
+    oq = [x + 0.5 for x in oq]
+    eq = [x + off for x, off in zip(eq, _OFF_EVEN[n_mom])]
+    return oq, eq
+
+
+def dequantize_moments_unorm16(odds_q, evens_q, n_mom):
+    """Inverse of quantize_moments_unorm16 (offsetAndDequantizeMoments)."""
+    oq = [x - 0.5 for x in odds_q]
+    eq = [x - off for x, off in zip(evens_q, _OFF_EVEN[n_mom])]
+    return _matvec(_D_ODD[n_mom], oq), _matvec(_D_EVEN[n_mom], eq)

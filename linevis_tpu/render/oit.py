@@ -386,7 +386,7 @@ def render_tubes_mlab_buckets(
 @partial(
     jax.jit,
     static_argnames=("settings", "n_mom", "opacity", "overestimation",
-                     "moment_bias", "trigonometric"),
+                     "moment_bias", "trigonometric", "pixel_format"),
 )
 def render_tubes_mboit(
     scene: CapsuleScene,
@@ -399,6 +399,7 @@ def render_tubes_mboit(
     overestimation: float = 0.1,
     moment_bias: float = None,
     trigonometric: bool = False,
+    pixel_format: str = "float32",  # | "unorm16"
 ) -> jnp.ndarray:
     """Moment-based OIT (reference MBOITRenderer.cpp:688, single
     precision).  Two fragment passes over the same binning: pass 1
@@ -408,12 +409,25 @@ def render_tubes_mboit(
     `usePowerMoments = false` mode (complex circle-point moments,
     TrigonometricMomentMath.glsl) with n_mom/2 complex moments.
     """
+    from linevis_tpu.kernels.moment_math import (
+        UNORM_BIAS_VECTOR,
+        UNORM_MOMENT_BIAS,
+        UNORM_MOMENT_BIAS_TRIG,
+        dequantize_moments_unorm16,
+        quantize_moments_unorm16,
+    )
+
+    unorm = pixel_format == "unorm16"
+    if pixel_format not in ("float32", "unorm16"):
+        raise ValueError(f"pixel_format {pixel_format!r}")
     if moment_bias is None:
-        # FLOAT_32 defaults (MBOITRenderer.cpp:134-161).
+        # Per-format defaults (MBOITRenderer.cpp:134-161).
         if trigonometric:
-            moment_bias = TRIG_BIAS[n_mom]
+            moment_bias = (UNORM_MOMENT_BIAS_TRIG[n_mom] if unorm
+                           else TRIG_BIAS[n_mom])
         else:
-            moment_bias = {4: 5e-7, 6: 5e-6, 8: 5e-5}[n_mom]
+            moment_bias = (UNORM_MOMENT_BIAS[n_mom] if unorm
+                           else {4: 5e-7, 6: 5e-6, 8: 5e-5}[n_mom])
     csr, params, basis = prepare_capsule_frame(
         scene, view_proj, camera_position, proj_ab, settings
     )
@@ -430,7 +444,10 @@ def render_tubes_mboit(
     params = params.at[13].set(settings.depth_cue_strength)
     params = params.at[14].set(opacity)
     params = params.at[15].set(jnp.log(zmin)).at[16].set(jnp.log(zmax))
-    params = params.at[17].set(moment_bias).at[18].set(overestimation)
+    # UNORM16: biasing moves out of the kernel (pre-mixed below with the
+    # UNORM bias vectors, which differ from the in-kernel FLOAT_32 ones).
+    kernel_bias = 0.0 if unorm else moment_bias
+    params = params.at[17].set(kernel_bias).at[18].set(overestimation)
     if trigonometric:
         wzp = wrapping_zone_parameters()
         params = params.at[20].set(wzp[1]).at[21].set(wzp[2])
@@ -447,6 +464,40 @@ def render_tubes_mboit(
     b0 = depths[0]
     odd_ch = (rgb[0, 0], rgb[1, 0], rgb[2, 0], alpha[0])[: n_mom // 2]
     even_ch = (depths[1], rgb[0, 1], rgb[1, 1], rgb[2, 1])[: n_mom // 2]
+    if unorm:
+        # Emulate rgba16-unorm moment storage between the passes: the
+        # normalized moments go through the reference's quantization
+        # basis change into [0, 1], get rounded to the 65535-step grid,
+        # and come back through the inverse (MomentMath.glsl:156-243).
+        # Biasing is pre-mixed here (bias vectors MomentOIT.glsl:459,
+        # 514,552) and the kernel sees bias 0.
+        inv_b0 = 1.0 / jnp.maximum(b0, 1e-6)
+        on = [o * inv_b0 for o in odd_ch]
+        en = [e * inv_b0 for e in even_ch]
+        if trigonometric:
+            oq = [0.5 * x + 0.5 for x in on]
+            eq = [0.5 * x + 0.5 for x in en]
+        else:
+            oq, eq = quantize_moments_unorm16(on, en, n_mom)
+
+        def u16(x):
+            return jnp.round(jnp.clip(x, 0.0, 1.0) * 65535.0) / 65535.0
+
+        oq = [u16(x) for x in oq]
+        eq = [u16(x) for x in eq]
+        if trigonometric:
+            scale = 1.0 - moment_bias
+            od = [(2.0 * x - 1.0) * scale for x in oq]
+            ed = [(2.0 * x - 1.0) * scale for x in eq]
+        else:
+            od, ed = dequantize_moments_unorm16(oq, eq, n_mom)
+            bv = UNORM_BIAS_VECTOR[n_mom]
+            od = [(1.0 - moment_bias) * x + moment_bias * bv[2 * j]
+                  for j, x in enumerate(od)]
+            ed = [(1.0 - moment_bias) * x + moment_bias * bv[2 * j + 1]
+                  for j, x in enumerate(ed)]
+        odd_ch = tuple(x * b0 for x in od)
+        even_ch = tuple(x * b0 for x in ed)
     moments = jnp.stack([b0, *odd_ch, *even_ch], axis=0)
 
     _, rgb2, alpha2 = rasterize_capsules_mlab(

@@ -237,6 +237,7 @@ class MBOITRenderer(LineRenderer):
     name = "Moment-Based OIT"
     n_mom = 4
     use_power_moments = True
+    pixel_format = "float32"
     TILE_W, TILE_H = 16, 8
 
     def set_new_settings(self, settings: SettingsMap) -> None:
@@ -245,6 +246,12 @@ class MBOITRenderer(LineRenderer):
             self.n_mom = settings.get_int("numMoments")
         if settings.has_key("usePowerMoments"):
             self.use_power_moments = settings.get_bool("usePowerMoments")
+        if settings.has_key("pixelFormat"):
+            # Reference values: "Float" -> FLOAT_32, else UNORM_16
+            # (MBOITRenderer.cpp:286).
+            fmt = str(settings.get_value("pixelFormat"))
+            self.pixel_format = ("float32" if fmt.lower().startswith("float")
+                                 else "unorm16")
 
     def render(self, camera: Camera) -> np.ndarray:
         import jax.numpy as jnp
@@ -261,6 +268,7 @@ class MBOITRenderer(LineRenderer):
             n_mom=self.n_mom,
             opacity=self.opacity,
             trigonometric=not self.use_power_moments,
+            pixel_format=self.pixel_format,
         )
         return np.moveaxis(np.asarray(img), 0, -1)
 

@@ -167,6 +167,37 @@ def test_mboit_trigonometric_vs_exact_blend():
         assert diff.max() < 0.25, (n_mom, diff.max())
 
 
+def test_mboit_unorm16_pixel_format():
+    """UNORM16 moment storage (MBOIT_PIXEL_FORMAT_UNORM_16): the
+    quantization basis change + 16-bit grid + UNORM bias vectors give an
+    image close to (but not identical with) the float32 path."""
+    import jax.numpy as jnp
+    from linevis_tpu.render.oit import render_tubes_mboit
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    scene = _layered_scene(3)
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+
+    for trig in (False, True):
+        f32 = np.asarray(render_tubes_mboit(
+            scene, vp, cp, ab, S, n_mom=4, opacity=0.4,
+            trigonometric=trig))
+        u16 = np.asarray(render_tubes_mboit(
+            scene, vp, cp, ab, S, n_mom=4, opacity=0.4,
+            trigonometric=trig, pixel_format="unorm16"))
+        assert np.isfinite(u16).all()
+        # Coverage is exact in both formats (b0 stays float32, like the
+        # reference's r32f zeroth-moment target).
+        np.testing.assert_allclose(u16[3], f32[3], atol=1e-4)
+        diff = np.abs(u16[:3] - f32[:3])
+        assert diff.mean() < 0.02, (trig, diff.mean())
+        assert diff.max() < 0.3, (trig, diff.max())
+
+
 def test_mboit_single_layer_near_exact():
     """One transparent layer: moment reconstruction is exact."""
     import jax.numpy as jnp
