@@ -37,6 +37,7 @@ from linevis_tpu.trace.scattering import _box_intersect, grid_box
 __all__ = [
     "SuperVoxelGrid",
     "build_super_voxel_grid",
+    "build_super_voxel_minmax",
     "make_residual_ratio_tracer",
     "residual_ratio_transmittance",
 ]
@@ -52,13 +53,12 @@ class SuperVoxelGrid:
     size: int = dataclasses.field(metadata=dict(static=True))
 
 
-def build_super_voxel_grid(
-    grid: np.ndarray, extinction: float, size: int = 8
-) -> SuperVoxelGrid:
-    """Reference SuperVoxelGrid.cpp:410 (`computeSuperVoxels`): pool the
-    density grid into `size`^3 blocks; control = extinction * mean
-    density (Novák et al. 2014 §4.3 residual-minimizing control),
-    residual majorant = extinction * max |density - mean|."""
+def _halo_block_stats(grid, size: int):
+    """(hmin, hmax, mean) pooled into size^3 blocks, with min/max taken
+    over the 3^3 block neighborhood: a trilinear sample inside a super
+    voxel mixes a 1-voxel halo from the neighbors, so the neighborhood
+    bound is required for the min/max to bracket every sample (slightly
+    conservative; still valid majorants/minorants, so still unbiased)."""
     g = jnp.asarray(grid, jnp.float32)
     sz, sy, sx = g.shape
     nz, ny, nx = (-(-sz // size), -(-sy // size), -(-sx // size))
@@ -68,10 +68,6 @@ def build_super_voxel_grid(
     gp = jnp.pad(g, pad, mode="edge")
     blocks = gp.reshape(nz, size, ny, size, nx, size)
     mean = blocks.mean(axis=(1, 3, 5))
-    # The residual majorant must bound |mu - mu_c| for every TRILINEAR
-    # sample inside the super voxel, which mixes a 1-voxel halo from the
-    # neighbors: bound with the 3^3-neighborhood block max/min (slightly
-    # conservative; still a valid majorant, so still unbiased).
     bmax = blocks.max(axis=(1, 3, 5))
     bmin = blocks.min(axis=(1, 3, 5))
     pad_b = ((1, 1), (1, 1), (1, 1))
@@ -88,6 +84,25 @@ def build_super_voxel_grid(
                 hmin = jnp.minimum(
                     hmin, bmin_p[dz:dz + nz, dy:dy + ny, dx:dx + nx]
                 )
+    return hmin, hmax, mean
+
+
+def build_super_voxel_minmax(grid, size: int = 8):
+    """Per-super-voxel (min, max) density — the reference's
+    superVoxelMinMaxDensity texture (SuperVoxelGrid.cpp, used by
+    DecompositionTracking.glsl:72-79)."""
+    hmin, hmax, _ = _halo_block_stats(grid, size)
+    return hmin, hmax
+
+
+def build_super_voxel_grid(
+    grid: np.ndarray, extinction: float, size: int = 8
+) -> SuperVoxelGrid:
+    """Reference SuperVoxelGrid.cpp:410 (`computeSuperVoxels`): pool the
+    density grid into `size`^3 blocks; control = extinction * mean
+    density (Novák et al. 2014 §4.3 residual-minimizing control),
+    residual majorant = extinction * max |density - mean|."""
+    hmin, hmax, mean = _halo_block_stats(grid, size)
     resid = jnp.maximum(hmax - mean, mean - hmin)
     return SuperVoxelGrid(
         mu_c=extinction * mean,

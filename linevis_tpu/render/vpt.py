@@ -178,6 +178,7 @@ def vpt_trace_rays(
         return _decomposition_trace(
             key, gridf, grid, origins, directions, extinction, albedo,
             bg_fn, phase_g, max_events, b_min, b_max, extent,
+            super_voxel_size=super_voxel_size,
         )
     if mode == "Residual Ratio Tracking":
         return _residual_ratio_trace(
@@ -341,79 +342,127 @@ def _residual_ratio_trace(
 def _decomposition_trace(
     key, gridf, grid, origins, directions, extinction, albedo,
     bg_fn, phase_g, max_events, b_min, b_max, extent,
+    super_voxel_size=8,
 ):
     """Analog decomposition tracking (Kutz et al. 2017;
-    DecompositionTracking.glsl:5-92): a homogeneous CONTROL component
-    mu_c = majorant * min(density) is tracked analytically, only the
-    residual component needs collision sampling with the reduced majorant
-    mu_r = majorant * max(density) - mu_c.  The reference decomposes per
-    super-voxel; this implementation uses the volume-global min/max (a
-    1^3 super-voxel grid) — the same unbiased estimator, with the
-    super-voxel grid being purely a variance/efficiency refinement."""
+    DecompositionTracking.glsl:35-130): per SUPER VOXEL, a homogeneous
+    CONTROL component mu_c = extinction * min_density is tracked
+    analytically; only the residual needs collision sampling, with the
+    LOCAL reduced majorant mu_r = extinction * max_density - mu_c, and
+    empty super voxels (max < 1e-5) are skipped by the traversal
+    outright (DecompositionTracking.glsl:76-78).
+
+    TPU-native structure: a flat per-ray state machine under lax.scan —
+    each step either (a) enters a super voxel (computes the exit
+    segment, draws the control flight, or skips it if empty) or
+    (b) processes one residual collision candidate; a scatter re-enters
+    the same super voxel with the new direction (the reference's inner
+    rayBoxIntersect re-do).  The halo-aware per-super-voxel min/max
+    keeps mu_c <= density <= mu_c + mu_r for every trilinear sample, so
+    the estimator stays unbiased."""
+    from linevis_tpu.render.super_voxel import build_super_voxel_minmax
+
     majorant = extinction[0]
     abs_albedo = 1.0 - albedo[0]
-    g_min = jnp.min(grid)
-    g_max = jnp.max(grid)
-    mu_c = jnp.maximum(1e-10, majorant * g_min)
-    mu_r = jnp.maximum(1e-10, majorant * g_max - mu_c)
+    dmin_g, dmax_g = build_super_voxel_minmax(grid, super_voxel_size)
+    nz, ny, nx = dmin_g.shape
+    sv_n = jnp.asarray([nx, ny, nz], jnp.float32)
+    cell = extent / sv_n
+
+    def seg_exit(x, w, idx):
+        """Distance from x to super voxel idx's exit face + exit axis."""
+        lo = b_min + idx * cell
+        hi = lo + cell
+        safe_w = jnp.where(jnp.abs(w) < 1e-9, 1e-9, w)
+        t_far = jnp.maximum((lo - x) / safe_w, (hi - x) / safe_w)
+        t_far = jnp.where(jnp.abs(w) < 1e-9, 1e30, t_far)
+        return jnp.maximum(jnp.min(t_far), 0.0), jnp.argmin(t_far)
 
     def trace_one(key, x0, w0):
         t_min, t_max, hit = _box_intersect(b_min, b_max, x0, w0)
-        x = x0 + w0 * t_min
-        d0 = jnp.where(hit, t_max - t_min, -1.0)
+        x_in = x0 + w0 * (t_min + 1e-6)
+        idx0 = jnp.clip(jnp.floor((x_in - b_min) / cell), 0.0, sv_n - 1.0)
 
         def step(state, k):
-            x, w, d, t_c, t_r, alive, absorbed = state
+            x, w, idx, t_c, t_r, in_sv, alive, absorbed = state
             k1, k2, k3, k4, k5 = jax.random.split(k, 5)
-            t_r_new = t_r - jnp.log(
+            ix = jnp.clip(idx, 0.0, sv_n - 1.0).astype(jnp.int32)
+            d_min = dmin_g[ix[2], ix[1], ix[0]]
+            d_max = dmax_g[ix[2], ix[1], ix[0]]
+            mu_c = jnp.maximum(1e-10, majorant * d_min)
+            mu_r = jnp.maximum(1e-10, majorant * d_max - mu_c)
+            # Segment geometry is direction-stable while inside a super
+            # voxel (x stays at the segment origin), so recomputing it
+            # every step is consistent across both modes.
+            d_seg, axis = seg_exit(x, w, idx)
+            empty = d_max < 1e-5
+
+            # -- mode "enter": draw the control free-flight ------------
+            enter = ~in_sv
+            t_c0 = -jnp.log(
                 jnp.maximum(1e-10, 1.0 - jax.random.uniform(k1))
+            ) / mu_c
+
+            # -- mode "candidates": one residual candidate -------------
+            t_r_new = t_r - jnp.log(
+                jnp.maximum(1e-10, 1.0 - jax.random.uniform(k2))
             ) / mu_r
-            exited = (t_c >= d) & (t_r_new >= d)
+            seg_done = (t_c >= d_seg) & (t_r_new >= d_seg)
             t_hit = jnp.minimum(t_c, t_r_new)
             xs = x + w * t_hit
-            tpos = (xs - b_min) / extent
-            density = sample_grid_trilinear(gridf, tpos)[..., 0]
+            dens = sample_grid_trilinear(
+                gridf, (xs - b_min) / extent
+            )[..., 0]
             control_hit = t_c <= t_r_new
             residual_hit = (
-                jax.random.uniform(k2) * mu_r
-                < majorant * density - mu_c
+                jax.random.uniform(k3) * mu_r < majorant * dens - mu_c
             )
-            collision = (~exited) & (control_hit | residual_hit)
-            absorb_now = collision & (jax.random.uniform(k3) < abs_albedo)
+            collision = (~enter) & (~seg_done) & (
+                control_hit | residual_hit
+            )
+            absorb_now = collision & (jax.random.uniform(k4) < abs_albedo)
             scatter_now = collision & ~absorb_now
+            w_s = _sample_phase(k5, phase_g, w)
 
-            w_new = jnp.where(scatter_now, _sample_phase(k4, phase_g, w), w)
-            x_new = jnp.where(collision, xs, x)
-            t2min, t2max, hit2 = _box_intersect(b_min, b_max, x_new, w_new)
-            d_new = jnp.where(
-                scatter_now, jnp.where(hit2, t2max - t2min, 0.0), d
+            # -- merge the two modes ------------------------------------
+            advance = (enter & empty) | ((~enter) & seg_done)
+            x_adv = x + w * (d_seg + 1e-6)
+            idx_adv = idx + jnp.sign(w) * (jnp.arange(3) == axis)
+            exited = advance & (
+                (idx_adv < 0.0).any() | (idx_adv >= sv_n).any()
             )
-            t_c_new = jnp.where(
+
+            x_n = jnp.where(scatter_now, xs, jnp.where(advance, x_adv, x))
+            w_n = jnp.where(scatter_now, w_s, w)
+            idx_n = jnp.where(advance, idx_adv, idx)
+            idx_n = jnp.where(
                 scatter_now,
-                -jnp.log(jnp.maximum(1e-10, 1.0 - jax.random.uniform(k5)))
-                / mu_c,
-                t_c,
+                jnp.clip(jnp.floor((xs - b_min) / cell), 0.0, sv_n - 1.0),
+                idx_n,
             )
-            t_r_out = jnp.where(scatter_now, 0.0, t_r_new)
+            # enter+occupied -> candidates; candidates leave on advance
+            # or scatter (scatter re-enters with the new direction).
+            in_sv_n = jnp.where(enter, ~empty,
+                                ~(seg_done | scatter_now))
+            t_c_n = jnp.where(enter, t_c0, t_c)
+            t_r_n = jnp.where(enter | collision, 0.0, t_r_new)
 
-            active = alive & ~exited
-            absorbed_out = absorbed | (active & absorb_now)
-            alive_out = active & ~absorb_now
-            x_out = jnp.where(active, x_new, x)
-            w_out = jnp.where(active, w_new, w)
-            d_out = jnp.where(active, d_new, d)
-            t_c_out = jnp.where(active, t_c_new, t_c)
-            t_r_out = jnp.where(active, t_r_out, t_r)
-            return (x_out, w_out, d_out, t_c_out, t_r_out, alive_out,
-                    absorbed_out), None
+            active = alive & ~absorb_now & ~exited
+            upd = lambda n, o: jnp.where(alive, n, o)  # noqa: E731
+            return (
+                jnp.where(alive, x_n, x),
+                jnp.where(alive, w_n, w),
+                jnp.where(alive, idx_n, idx),
+                upd(t_c_n, t_c), upd(t_r_n, t_r),
+                jnp.where(alive, in_sv_n, in_sv),
+                active,
+                absorbed | (alive & absorb_now),
+            ), None
 
-        key0, key1 = jax.random.split(key)
-        t_c0 = -jnp.log(
-            jnp.maximum(1e-10, 1.0 - jax.random.uniform(key0))
-        ) / mu_c
-        keys = jax.random.split(key1, max_events)
-        init = (x, w0, d0, t_c0, jnp.float32(0.0), hit, jnp.bool_(False))
-        (xf, wf, df, _, _, alive, absorbed), _ = jax.lax.scan(
+        keys = jax.random.split(key, max_events)
+        init = (x_in, w0, idx0, jnp.float32(0.0), jnp.float32(0.0),
+                jnp.bool_(False), hit, jnp.bool_(False))
+        (xf, wf, _, _, _, _, alive, absorbed), _ = jax.lax.scan(
             step, init, keys
         )
         bg = bg_fn(wf)
