@@ -297,6 +297,32 @@ def scene_vpt():
     return img
 
 
+def scene_replay_screenshot():
+    """Replay-script-driven E2E frame: a g.* script (the reference's
+    Data/ReplayScripts protocol) picks dataset + renderer + settings and
+    flies the camera; the golden is the final frame (ReplayWidget.run)."""
+    from linevis_tpu.automation.replay import ReplayWidget
+
+    w, h = SMALL_SIZE
+    captured = []
+    widget = ReplayWidget(lambda name: _line_data(seed=21), fps=2.0,
+                          output_dir="/tmp/replay_golden")
+    widget.frame_callback = lambda i, img: captured.append(img)
+    widget.load_script(
+        'g.set_duration(0)\n'
+        'g.set_dataset("synthetic")\n'
+        'g.set_renderer("Multi-Layer Alpha Blending")\n'
+        'g.set_rendering_algorithm_settings({"opacity": 0.5})\n'
+        'g.set_camera_position(0.0, 0.2, 1.4)\n'
+        'g.set_camera_look_at(0.0, 0.0, 0.0)\n'
+        'g.set_duration(1)\n'
+        'g.set_camera_position(0.35, 0.25, 1.3)\n'
+    )
+    widget.run(width=w, height=h)
+    return captured[-1]
+
+
+
 ALL_SCENES = {
     "opaque_tubes": scene_opaque_tubes,
     "mlab_transparent": scene_mlab_transparent,
@@ -309,4 +335,5 @@ ALL_SCENES = {
     "rtao": scene_rtao,
     "opacity_optimization": scene_opacity_optimization,
     "vpt": scene_vpt,
+    "replay_screenshot": scene_replay_screenshot,
 }

@@ -108,3 +108,32 @@ def test_transmittance_monotone_single_fragment():
     assert abs(T[-1] - (1.0 - alpha)) < 0.02
     # Monotone non-increasing (within fp slack).
     assert np.all(np.diff(T) < 1e-3)
+
+
+def test_unorm16_quantization_round_trip():
+    """quantizeMoments / offsetAndDequantizeMoments matrix pairs invert
+    each other, and valid normalized moments map into [0, 1]
+    (MomentMath.glsl:156-243)."""
+    from linevis_tpu.kernels.moment_math import (
+        dequantize_moments_unorm16,
+        quantize_moments_unorm16,
+    )
+
+    rng = np.random.default_rng(0)
+    for n_mom in (4, 6, 8):
+        h = n_mom // 2
+        for _ in range(5):
+            d = rng.uniform(-1, 1, 6)
+            w = rng.uniform(0.1, 1, 6)
+            w /= w.sum()
+            odds = [jnp.float32((d ** (2 * j + 1) * w).sum())
+                    for j in range(h)]
+            evens = [jnp.float32((d ** (2 * j + 2) * w).sum())
+                     for j in range(h)]
+            oq, eq = quantize_moments_unorm16(odds, evens, n_mom)
+            for x in (*oq, *eq):
+                assert -0.05 <= float(x) <= 1.05, (n_mom, float(x))
+            o2, e2 = dequantize_moments_unorm16(oq, eq, n_mom)
+            err = max(abs(float(a) - float(b))
+                      for a, b in zip((*o2, *e2), (*odds, *evens)))
+            assert err < 1e-5, (n_mom, err)

@@ -167,6 +167,7 @@ def test_mboit_trigonometric_vs_exact_blend():
         assert diff.max() < 0.25, (n_mom, diff.max())
 
 
+@pytest.mark.slow
 def test_mboit_unorm16_pixel_format():
     """UNORM16 moment storage (MBOIT_PIXEL_FORMAT_UNORM_16): the
     quantization basis change + 16-bit grid + UNORM bias vectors give an
