@@ -153,6 +153,7 @@ def test_deferred_renderer_mode_and_upscaling():
     assert np.isfinite(b).all()
 
 
+@pytest.mark.slow
 def test_atomic_loop_matches_mlab_at_low_complexity():
     """Depth complexity <= K: the exact K-buffer equals MLAB (no merges
     ever happen), both equal the reference's converged atomic loop."""

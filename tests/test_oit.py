@@ -120,7 +120,15 @@ def test_mboit_vs_exact_blend():
     ab = jnp.asarray(_proj_constants(cam))
 
     exact = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=0.4)
-    for n_mom in (4, 6, 8):
+    # 4 moments in the fast tier; the 6/8-moment sweep runs in the slow
+    # tier (test_mboit_higher_moment_sweep).
+    _check_mboit_vs_exact(scene, vp, cp, ab, S, exact, (4,))
+
+
+def _check_mboit_vs_exact(scene, vp, cp, ab, S, exact, n_moms):
+    from linevis_tpu.render.oit import render_tubes_mboit
+
+    for n_mom in n_moms:
         img = np.moveaxis(
             np.asarray(render_tubes_mboit(
                 scene, vp, cp, ab, S, n_mom=n_mom, opacity=0.4
@@ -134,6 +142,23 @@ def test_mboit_vs_exact_blend():
         diff = np.abs(img[..., :3] - exact[..., :3])
         assert diff.mean() < 0.02, (n_mom, diff.mean())
         assert diff.max() < 0.25, (n_mom, diff.max())
+
+
+@pytest.mark.slow
+def test_mboit_higher_moment_sweep():
+    """6/8 power moments vs exact blending (full-tier half of
+    test_mboit_vs_exact_blend)."""
+    import jax.numpy as jnp
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    scene = _layered_scene(3)
+    cam = Camera(position=(0.0, 0.0, 1.5), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+    exact = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=0.4)
+    _check_mboit_vs_exact(scene, vp, cp, ab, S, exact, (6, 8))
 
 
 @pytest.mark.slow
