@@ -52,6 +52,21 @@ assert (img[..., :3] < 0.999).any(), "opaque frame empty"
 img2 = render_tubes_mlab_image(scene, cam, settings=S, K=8, opacity=0.4)
 assert np.isfinite(img2).all()
 assert (img2[..., 3] > 0).any(), "mlab frame empty"
+
+# Trig-MBOIT exercises the heaviest Mosaic lowering surface of the OIT
+# kernel (polynomial sin/atan2, complex Blinn/Neumark solvers in the
+# resolve pass).
+import jax.numpy as jnp
+from linevis_tpu.render.oit import render_tubes_mboit
+from linevis_tpu.render.tube_raster import _proj_constants
+vp = jnp.asarray(cam.view_projection_matrix())
+cp = jnp.asarray(np.asarray(cam.position, np.float32))
+ab = jnp.asarray(_proj_constants(cam))
+img3 = np.asarray(render_tubes_mboit(
+    scene, vp, cp, ab, S, n_mom=4, opacity=0.4, trigonometric=True))
+assert np.isfinite(img3).all(), "trig mboit NaN on TPU"
+assert (img3[3] > 0).any(), "trig mboit frame empty"
+
 np.save("/tmp/tpu_smoke_opaque.npy", img)
 np.save("/tmp/tpu_smoke_mlab.npy", img2)
 print("TPU_SMOKE_OK")
