@@ -18,6 +18,18 @@ import jax  # noqa: E402
 # The axon TPU plugin in this image ignores JAX_PLATFORMS; force via config.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent CPU compile cache: the suite's cost is dominated by
+# compiling interpret-mode Pallas mega-graphs, which are identical
+# across runs. Dedicated directory — the TPU bench cache at .jax_cache
+# must not absorb CPU executables.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
