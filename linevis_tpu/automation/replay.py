@@ -242,7 +242,14 @@ class ReplayWidget:
         g = _GApi(self)
         saved = install_compat_modules(g)
         try:
-            exec(compile(code, "<replay>", "exec"), {"g": g})
+            ns = {"g": g}
+            exec(compile(code, "<replay>", "exec"), ns)
+            # Reference convention (ReplayWidget.cpp:700-702): the script
+            # defines `replay()` and the widget calls it after import.
+            # Inline g.* calls at module level (our shorthand) also work.
+            replay_fn = ns.get("replay")
+            if callable(replay_fn):
+                replay_fn()
         finally:
             remove_compat_modules(saved)
         self._commit_state()

@@ -138,3 +138,24 @@ camera_path_circle(0.0, math.pi, 1.0, 1.0, 2.0, subdivisions=8)
     # sys.modules restored
     import sys
     assert "modules.campath" not in sys.modules
+
+
+def test_replay_script_replay_function_convention():
+    """Reference scripts define replay() and the widget calls it after
+    import (ReplayWidget.cpp:700-702); inline scripts keep working."""
+    from linevis_tpu.automation.replay import ReplayWidget
+
+    w = ReplayWidget(lambda name: None)
+    w.load_script(
+        "import g\n"
+        "def init_scene():\n"
+        "    g.set_duration(0)\n"
+        "    g.set_renderer('Opaque')\n"
+        "def replay():\n"
+        "    init_scene()\n"
+        "    g.set_duration(2)\n"
+        "    g.set_camera_position(0.1, 0.2, 1.0)\n"
+    )
+    states = [s for s in w.states if s.duration or s.renderer]
+    assert any(s.renderer == "Opaque" for s in w.states)
+    assert any(abs(s.duration - 2.0) < 1e-9 for s in w.states)
