@@ -97,6 +97,8 @@ class ReplayState:
     camera_fovy: Optional[float] = None
     transfer_function: Optional[str] = None
     transfer_function_range: Optional[tuple] = None
+    multi_var_transfer_functions: Optional[list] = None
+    multi_var_transfer_function_ranges: Optional[list] = None
     tracer_settings: Optional[SettingsMap] = None
     screenshot: Optional[str] = None
 
@@ -165,21 +167,64 @@ class _GApi:
     def set_camera_fovy_deg(self, fovy_deg: float) -> None:
         self._w._current.camera_fovy = math.radians(float(fovy_deg))
 
-    def set_camera_yaw_pitch_rad(self, yaw: float, pitch: float) -> None:
+    def set_camera_yaw_pitch_rad(self, yaw, pitch=None) -> None:
+        if pitch is None:  # scripts also pass one (yaw, pitch) tuple
+            yaw, pitch = yaw
         self.set_camera_yaw_pitch(yaw, pitch)
 
     def set_camera_look_at_location(self, x, y=None, z=None) -> None:
         self.set_camera_look_at(x, y, z)
 
-    def set_transfer_function_range(self, vmin: float, vmax: float) -> None:
+    def set_transfer_function_range(self, vmin, vmax=None) -> None:
+        if vmax is None:  # scripts also pass one (min, max) tuple
+            vmin, vmax = vmin
         self.set_transfer_functions_range(vmin, vmax)
 
     def set_camera_checkpoint(self, name: str) -> None:
         cp = self._w.checkpoints.get(name)
         if cp is None:
-            raise KeyError(f"Unknown camera checkpoint {name!r}")
+            # The reference resolves checkpoints from the user's saved
+            # CameraCheckpoints file; scripts referencing one that is
+            # not registered keep the current camera (warn, no crash).
+            import warnings
+
+            warnings.warn(f"unknown camera checkpoint {name!r} (ignored)")
+            return
         self._w._current.camera_position = np.asarray(cp["position"], np.float32)
         self._w._current.camera_look_at = np.asarray(cp["look_at"], np.float32)
+
+    def set_transfer_functions(self, names: list) -> None:
+        """Per-variable TFs for multi-var rendering (py_set_transfer_functions,
+        ReplayWidget.cpp:121-155)."""
+        self._w._current.multi_var_transfer_functions = [str(n) for n in names]
+
+    def set_transfer_functions_ranges(self, ranges: list) -> None:
+        self._w._current.multi_var_transfer_function_ranges = [
+            (float(r[0]), float(r[1])) for r in ranges
+        ]
+
+    def convert_yaw_pitch_rad_to_quaternion(self, yaw, pitch=None):
+        """(x, y, z, w) of angleAxis(-pitch, X) * angleAxis(yaw + pi/2, Y)
+        (py_convert_yaw_pitch_rad_to_quaternion, ReplayWidget.cpp:448-473)."""
+        if pitch is None:
+            yaw, pitch = yaw
+        ax = -float(pitch) * 0.5
+        ay = (float(yaw) + math.pi / 2.0) * 0.5
+        q1 = np.array([math.sin(ax), 0.0, 0.0, math.cos(ax)])  # X axis
+        q2 = np.array([0.0, math.sin(ay), 0.0, math.cos(ay)])  # Y axis
+        x1, y1, z1, w1 = q1
+        x2, y2, z2, w2 = q2
+        return (
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        )
+
+    def get_default_camera_fov_deg(self) -> float:
+        from linevis_tpu.render.camera import Camera
+
+        return math.degrees(Camera().fovy)
 
     def set_transfer_function(self, name_or_path: str) -> None:
         self._w._current.transfer_function = name_or_path
@@ -222,6 +267,8 @@ class ReplayWidget:
                                             dataset_settings=None,
                                             transfer_function=None,
                                             transfer_function_range=None,
+                                            multi_var_transfer_functions=None,
+                                            multi_var_transfer_function_ranges=None,
                                             tracer_settings=None)
 
     def load_script(self, path_or_code: str) -> None:
@@ -283,6 +330,13 @@ class ReplayWidget:
                     )
             if state.transfer_function_range is not None and renderer is not None:
                 renderer.transfer_function_range = state.transfer_function_range
+            if (state.multi_var_transfer_functions is not None
+                    and renderer is not None):
+                renderer.multi_var_tf_names = state.multi_var_transfer_functions
+            if (state.multi_var_transfer_function_ranges is not None
+                    and renderer is not None):
+                renderer.multi_var_tf_ranges = (
+                    state.multi_var_transfer_function_ranges)
             if state.tracer_settings is not None and self.tracer_callback:
                 self.tracer_callback(state.tracer_settings)
 

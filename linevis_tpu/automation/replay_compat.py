@@ -43,6 +43,26 @@ def _bezier_timing(x: float, accel_start: float, accel_end: float) -> float:
     return by(0.5 * (lo + hi))
 
 
+def _cubic_bezier_y_at_x(x, p0, p1, p2, p3):
+    """y(x) of a cubic Bezier with arbitrary 2D control points (the
+    reference campath module's f_cubic_bezier, solved by bisection —
+    control x coordinates must be monotone)."""
+    def bezier(t, c0, c1, c2, c3):
+        mt = 1.0 - t
+        return (mt ** 3 * c0 + 3 * mt * mt * t * c1
+                + 3 * mt * t * t * c2 + t ** 3 * c3)
+
+    lo, hi = 0.0, 1.0
+    for _ in range(40):
+        mid = 0.5 * (lo + hi)
+        if bezier(mid, p0[0], p1[0], p2[0], p3[0]) < x:
+            lo = mid
+        else:
+            hi = mid
+    t = 0.5 * (lo + hi)
+    return bezier(t, p0[1], p1[1], p2[1], p3[1])
+
+
 def _make_campath(g):
     mod = types.ModuleType("modules.campath")
 
@@ -78,7 +98,80 @@ def _make_campath(g):
             g.set_duration(max(time - prev_time, 0.0))
             prev_time = time
 
+    def camera_pitch_rotation_smooth(yaw, pitch_start, pitch_end,
+                                     total_time, acceleration=0.4):
+        """Bezier-eased pitch sweep at fixed yaw (campath.py:152-171)."""
+        subdivisions = 256
+        g.set_duration(0.0)
+        for i in range(subdivisions + 1):
+            t = _bezier_timing(i / subdivisions, acceleration, acceleration)
+            pitch = pitch_start + t * (pitch_end - pitch_start)
+            g.set_camera_yaw_pitch_rad((yaw, pitch))
+            g.set_duration(total_time / subdivisions)
+
+    def jitter_camera(center, position, yaw, pitch, num_iterations=1,
+                      radius=None):
+        """Small oscillating orbit around the view center
+        (campath.py:173-187): one settle arc then back-and-forth arcs of
+        +-0.1 rad at the current radius."""
+        pitch = -pitch
+        angle_std = yaw - math.pi
+        angle_start = angle_std - 0.1
+        angle_end = angle_std + 0.1
+        if position is not None:
+            d = (center[0] - position[0], center[1] - position[1],
+                 center[2] - position[2])
+            radius = math.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        camera_path_circle(
+            angle_start=angle_std, angle_end=angle_end,
+            radius_start=radius, radius_end=radius,
+            total_time=1, pitch=pitch, center=center, acceleration=0.2)
+        for _ in range(num_iterations):
+            camera_path_circle(
+                angle_start=angle_end, angle_end=angle_start,
+                radius_start=radius, radius_end=radius,
+                total_time=2, pitch=pitch, center=center, acceleration=0.2)
+
+    def blend_camera_view(start_pos, end_pos, start_yaw, end_yaw,
+                          start_pitch=0.0, end_pitch=0.0, total_time=2.0,
+                          acceleration=0.4, p1_pos=None, p2_pos=None,
+                          p1_yaw=None, p2_yaw=None, p1_pitch=None,
+                          p2_pitch=None):
+        """Bezier-eased position + yaw/pitch blend (campath.py:199-260),
+        with optional per-channel control points."""
+        p0, p3 = (0, 0), (1, 1)
+        p1_pos = p1_pos or (acceleration, 0)
+        p2_pos = p2_pos or (1.0 - acceleration, 1)
+        p1_yaw = p1_yaw or (acceleration, 0)
+        p2_yaw = p2_yaw or (1.0 - acceleration, 1)
+        p1_pitch = p1_pitch or (acceleration, 0)
+        p2_pitch = p2_pitch or (1.0 - acceleration, 1)
+        subdivisions = 256
+        g.set_duration(0.0)
+        for i in range(subdivisions + 1):
+            x = i / subdivisions
+            t_pos = _cubic_bezier_y_at_x(x, p0, p1_pos, p2_pos, p3)
+            t_yaw = _cubic_bezier_y_at_x(x, p0, p1_yaw, p2_yaw, p3)
+            t_pitch = _cubic_bezier_y_at_x(x, p0, p1_pitch, p2_pitch, p3)
+            pos = tuple(
+                s + t_pos * (e - s) for s, e in zip(start_pos, end_pos)
+            )
+            yaw = start_yaw + t_yaw * (end_yaw - start_yaw)
+            pitch = start_pitch + t_pitch * (end_pitch - start_pitch)
+            g.set_camera_position(pos)
+            g.set_camera_yaw_pitch_rad(yaw, pitch)
+            g.set_duration(total_time / subdivisions)
+
+    def f_cubic_bezier(x, p0, p1, p2, p3):
+        return _cubic_bezier_y_at_x(x, p0, p1, p2, p3)
+
     mod.camera_path_circle = camera_path_circle
+    mod.camera_pitch_rotation_smooth = camera_pitch_rotation_smooth
+    mod.jitter_camera = jitter_camera
+    mod.blend_camera_view = blend_camera_view
+    mod.f_cubic_bezier = f_cubic_bezier
+    mod.pow2 = lambda x: x * x
+    mod.pow3 = lambda x: x * x * x
     return mod
 
 

@@ -159,3 +159,27 @@ def test_replay_script_replay_function_convention():
     states = [s for s in w.states if s.duration or s.renderer]
     assert any(s.renderer == "Opaque" for s in w.states)
     assert any(abs(s.duration - 2.0) < 1e-9 for s in w.states)
+
+
+def test_all_reference_replay_scripts_load():
+    """Every script in the reference's Data/ReplayScripts/ loads through
+    the compat shims and produces keyframe states (parity of the g.* and
+    modules.campath API surface). Skipped when the reference tree is
+    absent."""
+    import glob
+    import os
+    import warnings
+
+    import pytest as _pytest
+
+    from linevis_tpu.automation.replay import ReplayWidget
+
+    scripts = sorted(glob.glob("/root/reference/Data/ReplayScripts/*.py"))
+    if not scripts:
+        _pytest.skip("reference tree not available")
+    for path in scripts:
+        w = ReplayWidget(lambda name: None)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # unknown camera checkpoints
+            w.load_script(path)
+        assert len(w.states) > 1, os.path.basename(path)
