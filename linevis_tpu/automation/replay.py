@@ -251,6 +251,10 @@ class ReplayWidget:
         self.dataset_loader = dataset_loader
         self.fps = fps
         self.output_dir = output_dir
+        # Directory searched for transfer-function names used by
+        # set_transfer_function(s) (the reference's
+        # Data/TransferFunctions/); absolute paths work without it.
+        self.transfer_function_dir: Optional[str] = None
         self.states: List[ReplayState] = []
         self._current = ReplayState()
         self.checkpoints: Dict[str, dict] = {}
@@ -324,9 +328,12 @@ class ReplayWidget:
             if state.dataset_settings is not None and line_data is not None:
                 line_data.set_new_settings(state.dataset_settings)
             if state.transfer_function is not None and renderer is not None:
-                if os.path.exists(state.transfer_function):
+                tf_path = state.transfer_function
+                if not os.path.exists(tf_path) and self.transfer_function_dir:
+                    tf_path = os.path.join(self.transfer_function_dir, tf_path)
+                if os.path.exists(tf_path):
                     renderer.set_transfer_function(
-                        TransferFunction.from_xml(state.transfer_function)
+                        TransferFunction.from_xml(tf_path)
                     )
             if state.transfer_function_range is not None and renderer is not None:
                 renderer.transfer_function_range = state.transfer_function_range
