@@ -316,6 +316,9 @@ class ReplayWidget:
         quat: Optional[np.ndarray] = None
         prev_settings: Dict[str, str] = {}
         frames = 0
+        flight_path = None
+        total_d = 0.0
+        elapsed = 0.0
         for state in self.states:
             if state.dataset is not None:
                 line_data = self.dataset_loader(state.dataset)
@@ -401,6 +404,25 @@ class ReplayWidget:
                             if np.ndim(v) else str(v),
                         )
                     renderer.set_new_settings(interp)
+                if self.use_camera_flight and line_data is not None:
+                    # Camera flight mode (MainApp.cpp:2417): the camera
+                    # follows the circle path around the data's AABB for
+                    # the whole timeline; scripted positions are ignored.
+                    if flight_path is None:
+                        from linevis_tpu.automation.camera_path import (
+                            CameraPath,
+                        )
+
+                        flight_path = CameraPath.from_circle_path(
+                            line_data.get_aabb()
+                        )
+                        total_d = max(
+                            sum(s.duration for s in self.states), 1e-6
+                        )
+                    t_abs = (elapsed + (i + 1) / self.fps) / total_d
+                    p, la = flight_path.camera_at(
+                        min(t_abs, 1.0) * flight_path.total_time
+                    )
                 cam = dataclasses.replace(
                     cam, position=tuple(p), look_at_point=tuple(la)
                 )
@@ -409,6 +431,7 @@ class ReplayWidget:
                     frames += 1
                     if self.frame_callback:
                         self.frame_callback(frames, img)
+            elapsed += state.duration
             if n_frames:
                 pos, look = np.asarray(target_pos, np.float32), np.asarray(
                     target_look, np.float32

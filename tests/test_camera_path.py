@@ -183,3 +183,28 @@ def test_all_reference_replay_scripts_load():
             warnings.simplefilter("ignore")  # unknown camera checkpoints
             w.load_script(path)
         assert len(w.states) > 1, os.path.basename(path)
+
+
+def test_replay_camera_flight_mode():
+    """set_use_camera_flight(True): the camera follows the circle path
+    around the data AABB (MainApp.cpp:2417) instead of scripted
+    positions; frames must differ along the flight."""
+    import numpy as np
+
+    from linevis_tpu.automation.replay import ReplayWidget
+    from tests.golden_scenes import _line_data
+
+    caps = []
+    w = ReplayWidget(lambda name: _line_data(seed=3), fps=2.0)
+    w.frame_callback = lambda i, img: caps.append(img)
+    w.load_script(
+        "g.set_duration(0)\n"
+        "g.set_dataset('x')\n"
+        "g.set_renderer('Opaque')\n"
+        "g.set_use_camera_flight(True)\n"
+        "g.set_duration(1.5)\n"
+    )
+    n = w.run(width=64, height=48)
+    assert n == 3
+    assert all(np.isfinite(c).all() for c in caps)
+    assert not np.allclose(caps[0], caps[-1])
