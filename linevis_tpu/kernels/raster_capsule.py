@@ -75,6 +75,7 @@ def _capsule_kernel(
     height: int,
     use_early_z: bool,
     use_aa: bool,
+    sub: int,  # compute sub-chunk width (DMA stays at `chunk`)
 ):
     gi = pl.program_id(0)
     C = chunk
@@ -142,21 +143,18 @@ def _capsule_kernel(
                 in_run = (glob >= base) & (glob < base + count)
                 # Conservative chunk zmin over in-run lanes only (boundary
                 # chunks contain neighbors' pairs).
-                chunk_zmin = jnp.min(
-                    jnp.where(in_run, coef[15:16, :].T, 3.0)
-                )
+                zmin_t = coef[15:16, :].T  # [C, 1]
+                chunk_zmin = jnp.min(jnp.where(in_run, zmin_t, 3.0))
                 exit_now = (
                     (chunk_zmin > zfar_prev) if use_early_z else jnp.bool_(False)
                 )
 
-                @pl.when(jnp.logical_not(exit_now))
-                def _():
-                    @pl.when(c + 1 < nch)
-                    def _():
-                        get_dma(1 - slot, c + 1).start()
-
-                    def scal(r):
-                        return coef[r : r + 1, :].T  # [C, 1] (value transpose)
+                # Per-candidate-block processing on [sub, P] slices: the DMA
+                # granularity stays at `chunk` (lane-dim DMA offsets must be
+                # 128-aligned) but compute skips the sub-blocks outside the
+                # tile's pair run — the median tile holds a small fraction
+                # of the chunk it overlaps (see raster_capsule_oit.py).
+                def process(scal, in_run):
 
                     def dot_dn(r):
                         # [C,1] x [1,P] broadcast FMA per component. NOT an
@@ -315,6 +313,44 @@ def _capsule_kernel(
                         upd(attr_ref, battr)
                         upd(cov_ref, sel(cov_cand))
 
+                @pl.when(jnp.logical_not(exit_now))
+                def _():
+                    @pl.when(c + 1 < nch)
+                    def _():
+                        get_dma(1 - slot, c + 1).start()
+
+                    for j in range(C // sub):
+                        jlo = j * sub
+
+                        def scal_j(r, jlo=jlo):
+                            return coef[r : r + 1, :].T[jlo : jlo + sub]
+
+                        lane_s = jax.lax.broadcasted_iota(
+                            jnp.int32, (sub, 1), 0
+                        )
+                        glob_lo = (b0 + c) * C + jlo
+                        in_run_s = (glob_lo + lane_s >= base) & (
+                            glob_lo + lane_s < base + count
+                        )
+                        live = (glob_lo < base + count) & (
+                            glob_lo + sub > base
+                        )
+                        if use_early_z:
+                            # Block-level hierarchical-Z against the CURRENT
+                            # depth buffer (the chunk-level exit only sees
+                            # the previous chunk's zfar carry).
+                            sub_zmin = jnp.min(
+                                jnp.where(
+                                    in_run_s, zmin_t[jlo : jlo + sub], 3.0
+                                )
+                            )
+                            zfar_cur = jnp.max(depth_ref[k : k + 1, :])
+                            live = live & (sub_zmin <= zfar_cur)
+
+                        @pl.when(live)
+                        def _(scal_j=scal_j, in_run_s=in_run_s):
+                            process(scal_j, in_run_s)
+
                 zfar = jnp.max(depth_ref[k : k + 1, :])
                 c_next = jnp.where(exit_now, nch, c + 1)
                 return (c_next, zfar)
@@ -325,7 +361,7 @@ def _capsule_kernel(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "tile_w", "tile_h", "interpret",
-                     "use_early_z", "use_aa"),
+                     "use_early_z", "use_aa", "sub"),
 )
 def rasterize_capsules_pallas(
     csr: SortedBinning,
@@ -337,6 +373,7 @@ def rasterize_capsules_pallas(
     interpret: bool = False,
     use_early_z: bool = True,
     use_aa: bool = True,
+    sub: int = 32,  # compute sub-chunk width (DMA stays at `chunk`)
 ):
     """Capsule raster pass ->
     (z_ndc, seg_id, [attr, nx, ny, nz, tx, ty, tz, coverage]).
@@ -352,6 +389,9 @@ def rasterize_capsules_pallas(
     n_pad = -(-n_tiles // TILE_GROUP) * TILE_GROUP
     counts = jnp.pad(csr.tile_count, (0, n_pad - n_tiles))
     starts = jnp.pad(csr.tile_start, (0, n_pad - n_tiles))
+    # Sub-chunk width: a divisor of C, sublane-aligned (multiple of 8).
+    if sub <= 0 or sub > C or C % sub or sub % 8:
+        sub = C
 
     kernel = functools.partial(
         _capsule_kernel,
@@ -363,6 +403,7 @@ def rasterize_capsules_pallas(
         height=height,
         use_early_z=use_early_z,
         use_aa=use_aa,
+        sub=sub,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -98,6 +98,7 @@ def _mlab_kernel(
     use_peel: bool,  # depth peeling: discard fragments at znd <= peel input
     no_overflow: bool,  # drop evicted fragments instead of MLAB-merging
     deferred_shade: bool,  # store (attr, cosc, spec) features, shade in XLA
+    sub: int,  # compute sub-chunk width (DMA stays at `chunk`)
 ):
     # mboit_resolve receives the per-pixel moment images (pass-1 output) as
     # extra *inputs* ahead of the outputs: b0, n/2 odd, n/2 even moments.
@@ -117,7 +118,7 @@ def _mlab_kernel(
     # VREG sublanes) instead of K chained [1, P] row swaps; the final
     # node state is copied to the per-node output planes at tile end.
     node_scr = refs[n_out + 2 : n_out + 7]
-    # Candidate-depth scratch [2C, P]: holding tw in VMEM lets each of
+    # Candidate-depth scratch [2*sub, P]: holding tw in VMEM lets each of
     # the K extraction sweeps live under pl.when, gated on the chunk's
     # max per-pixel hit count — thin tubes leave most chunks with far
     # fewer than K hits, and a skipped sweep saves ~7 full [2C, P]
@@ -205,7 +206,8 @@ def _mlab_kernel(
                 lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                 glob = (b0 + c) * C + lane
                 in_run = (glob >= base) & (glob < base + count)
-                chunk_zmin = jnp.min(jnp.where(in_run, coef[15:16, :].T, 3.0))
+                zmin_t = coef[15:16, :].T  # [C, 1]
+                chunk_zmin = jnp.min(jnp.where(in_run, zmin_t, 3.0))
                 # Early exit: later fragments can only merge into the last
                 # node; once the K-buffer's worst depth is nearer than all
                 # remaining fragments AND saturated, stop (MLAB truncation).
@@ -225,14 +227,16 @@ def _mlab_kernel(
                         aK_min_prev > 0.999
                     )
 
-                @pl.when(jnp.logical_not(exit_now))
-                def _():
-                    @pl.when(c + 1 < nch)
-                    def _():
-                        get_dma(1 - slot, c + 1).start()
-
-                    def scal(r):
-                        return coef[r : r + 1, :].T
+                # Per-candidate-block processing, shapes [sub, P] /
+                # [2*sub, P].  The DMA granularity stays at `chunk` (lane-
+                # dim DMA offsets must be 128-aligned), but compute runs on
+                # `sub`-wide sublane slices so a tile whose run covers only
+                # part of a chunk skips the padding blocks entirely — on
+                # Tornado@1080p the median tile holds ~22 of the 128 pairs
+                # it would otherwise pay intersection + K extraction
+                # sweeps for.  `scal` yields the [sub, 1] payload-row
+                # slice; `in_run` is the block's [sub, 1] run mask.
+                def process(scal, in_run):
 
                     def dot_dn(r):
                         return (
@@ -652,6 +656,29 @@ def _mlab_kernel(
                                 jnp.where(d_all <= cd, 1, 0), axis=0,
                                 keepdims=True,
                             )
+                            # Cross-boundary dedup: a carry whose depth
+                            # matches an EXISTING node (the same relative
+                            # tie window, mapped from view distance into
+                            # NDC: d(znd)/d(tw) = zB/(tw^2 invlen)) is the
+                            # coincident surface already extracted in an
+                            # earlier block/chunk — the within-sweep window
+                            # only dedups ties that land in the same block.
+                            # pos = K turns the insert into a no-op.
+                            eps_znd = jnp.abs(zB) * 1e-6 / jnp.maximum(
+                                bt * invlen, 1e-12
+                            )
+                            dup = (
+                                jnp.sum(
+                                    jnp.where(
+                                        (jnp.abs(d_all - cd) <= eps_znd)
+                                        & (d_all < 2.0),
+                                        1, 0,
+                                    ),
+                                    axis=0, keepdims=True,
+                                )
+                                > 0
+                            ) & has
+                            pos = jnp.where(dup, K, pos)
 
                             def ins(all_v, c_v):
                                 shifted = jnp.concatenate(
@@ -675,7 +702,12 @@ def _mlab_kernel(
                                     jnp.where(ev_sel, o[K - 1 : K, :], c)
                                     for o, c in zip(olds, carry)
                                 ]
-                                evict_has = has & (evs[0] < 2.0)
+                                # A dedup-dropped carry must not be merged
+                                # either — it IS an already-extracted node.
+                                evict_has = (
+                                    has & jnp.logical_not(dup)
+                                    & (evs[0] < 2.0)
+                                )
                                 aK = news[4][K - 1 : K, :]
                                 w = 1.0 - aK
 
@@ -698,6 +730,47 @@ def _mlab_kernel(
                             for ref, new in zip(node_scr, news):
                                 ref[:] = new
                             tw_scr[:] = jnp.where(win, _BIG, tw_s)
+
+                @pl.when(jnp.logical_not(exit_now))
+                def _():
+                    @pl.when(c + 1 < nch)
+                    def _():
+                        get_dma(1 - slot, c + 1).start()
+
+                    for j in range(C // sub):
+                        jlo = j * sub
+
+                        def scal_j(r, jlo=jlo):
+                            return coef[r : r + 1, :].T[jlo : jlo + sub]
+
+                        lane_s = jax.lax.broadcasted_iota(
+                            jnp.int32, (sub, 1), 0
+                        )
+                        glob_lo = (b0 + c) * C + jlo
+                        in_run_s = (glob_lo + lane_s >= base) & (
+                            glob_lo + lane_s < base + count
+                        )
+                        live = (glob_lo < base + count) & (
+                            glob_lo + sub > base
+                        )
+                        if store_mode not in _ACCUM_MODES:
+                            # Block-level saturation skip against the
+                            # CURRENT node state (the chunk-level early
+                            # exit only sees the previous chunk's carry).
+                            sub_zmin = jnp.min(
+                                jnp.where(
+                                    in_run_s, zmin_t[jlo : jlo + sub], 3.0
+                                )
+                            )
+                            zK_cur = jnp.max(node_scr[0][K - 1 : K, :])
+                            aK_cur = jnp.min(node_scr[4][K - 1 : K, :])
+                            live = live & jnp.logical_not(
+                                (sub_zmin > zK_cur) & (aK_cur > 0.999)
+                            )
+
+                        @pl.when(live)
+                        def _(scal_j=scal_j, in_run_s=in_run_s):
+                            process(scal_j, in_run_s)
 
                 if store_mode in _ACCUM_MODES:
                     zK = jnp.float32(2.0)
@@ -726,7 +799,7 @@ def _mlab_kernel(
     static_argnames=(
         "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
         "use_bands", "store_mode", "alpha_from_rows", "n_mom", "trig",
-        "no_overflow", "deferred_shade", "interpret",
+        "no_overflow", "deferred_shade", "sub", "interpret",
     ),
 )
 def rasterize_capsules_mlab(
@@ -748,6 +821,7 @@ def rasterize_capsules_mlab(
     peel: jnp.ndarray = None,  # [n_tiles, P] znd threshold (depth peeling)
     no_overflow: bool = False,  # drop evicted fragments (exact peeling pass)
     deferred_shade: bool = False,  # nodes carry (attr, cosc, spec) features
+    sub: int = 32,  # compute sub-chunk width (DMA stays at `chunk`)
     interpret: bool = False,
 ):
     """MLAB-K transparency pass.
@@ -774,6 +848,9 @@ def rasterize_capsules_mlab(
         raise ValueError("mboit_gen requires K=2 (moment channel layout)")
     if deferred_shade and store_mode != "shade":
         raise ValueError("deferred_shade only applies to store_mode='shade'")
+    # Sub-chunk width: a divisor of C, sublane-aligned (multiple of 8).
+    if sub <= 0 or sub > C or C % sub or sub % 8:
+        sub = C
 
     kernel = functools.partial(
         _mlab_kernel,
@@ -794,6 +871,7 @@ def rasterize_capsules_mlab(
         use_peel=peel is not None,
         no_overflow=no_overflow,
         deferred_shade=deferred_shade,
+        sub=sub,
     )
     extra_in = []
     extra_in_specs = []
@@ -832,9 +910,9 @@ def rasterize_capsules_mlab(
             # [K, P] node-buffer channels (d, r, g, b, a) for the
             # vectorized insertion sort.
             *([pltpu.VMEM((K, P), jnp.float32)] * 5),
-            # [2C, P] candidate depths: lets the K extraction sweeps be
+            # [2*sub, P] candidate depths: lets the K extraction sweeps be
             # individually skipped (pl.when on the live hit count).
-            pltpu.VMEM((2 * C, P), jnp.float32),
+            pltpu.VMEM((2 * sub, P), jnp.float32),
         ],
     )
     outs = pl.pallas_call(
