@@ -14,6 +14,22 @@ race-free and deterministic by construction (SURVEY §5 "race detection").
 With K >= scene depth complexity the result equals exact sorted blending,
 i.e. the reference's PPLL resolve; K=8 matches MLAB defaults.
 
+Culling hierarchy (the meshlet-culling role of the reference's deferred
+pipeline, `src/Renderers/Deferred/DeferredModes.hpp:31-62`, recast per
+tile): runs arrive front-to-back (z-bucket sorted), and each level tests
+candidates against the per-pixel K-buffer state —
+  1. per-CANDIDATE: a fragment behind a pixel's K-th node is rejected
+     when that pixel is *blocked* — exactly (no_overflow: a full buffer
+     inserts at pos K and drops) or with error < 1-`sat` (overflow: the
+     last node's merge weight is 1-alpha_K < 1-sat);
+  2. per-BLOCK: a [sub]-candidate block whose nearest conservative depth
+     is behind every *unblocked* pixel's bound is skipped before its
+     intersection math;
+  3. per-CHUNK: the chunk loop exits once the remaining chunks' min
+     depth is behind the tile-wide blocked bound.
+Rejection also empties blocks' live-candidate counts (nhit), which gates
+candidate shading and each of the K extraction sweeps individually.
+
 Fragments are SHADED at generation (Blinn-Phong tube shading with the
 camera headlight: light == view == -ray, so no world positions are
 needed); the transfer function is unrolled from static control points.
@@ -99,6 +115,7 @@ def _mlab_kernel(
     no_overflow: bool,  # drop evicted fragments instead of MLAB-merging
     deferred_shade: bool,  # store (attr, cosc, spec) features, shade in XLA
     sub: int,  # compute sub-chunk width (DMA stays at `chunk`)
+    sat: float,  # last-node alpha above which behind-dK fragments drop
 ):
     # mboit_resolve receives the per-pixel moment images (pass-1 output) as
     # extra *inputs* ahead of the outputs: b0, n/2 odd, n/2 even moments.
@@ -158,6 +175,25 @@ def _mlab_kernel(
     wzp_z = params_ref[21]
     wzp_w = params_ref[22]
 
+    # Group prologue: start the FIRST chunk's DMA for every tile in the
+    # group up front (slot k, sem k). Most tiles hold a single chunk
+    # (Tornado@1080p: mean 0.62 chunks/tile), so without this each tile's
+    # processing begins with a cold DMA wait; prefetched, tile k's data
+    # lands while tiles 0..k-1 compute. Later chunks (c >= 1) double-buffer
+    # through the two extra slots as before.
+    for k in range(TILE_GROUP):
+        t = gi * TILE_GROUP + k
+        count_k = count_ref[t]
+        b0_k = start_ref[t] // C
+
+        @pl.when(count_k > 0)
+        def _(b0_k=b0_k, k=k):
+            pltpu.make_async_copy(
+                payload_hbm.at[:, pl.ds(pl.multiple_of(b0_k * C, C), C)],
+                coef_scr.at[k],
+                sem.at[k],
+            ).start()
+
     for k in range(TILE_GROUP):
         t = gi * TILE_GROUP + k
         count = count_ref[t]
@@ -175,6 +211,20 @@ def _mlab_kernel(
         dz = params_ref[6] * un + params_ref[7] * vn + params_ref[8]
         invlen = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
         dn = jnp.concatenate([dx * invlen, dy * invlen, dz * invlen], axis=0)
+        # All per-candidate depth comparisons run in tw (world-distance)
+        # space: znd = zA - zB/(tw*invlen) is monotone in tw, so an NDC
+        # threshold d maps to tw >= zB/(zA-d)*len once per PIXEL ROW
+        # instead of a [2*sub, P] divide per candidate block.
+        len_p = 1.0 / invlen  # [1, P]
+        tw_lo = (zB / zA) * len_p  # znd >= 0
+        tw_hi = (zB / (zA - 1.0)) * len_p  # znd <= 1
+
+        def slot_of(c, k=k):
+            # Chunk 0 was group-prefetched into slot k; chunks >= 1
+            # double-buffer through the two extra slots.
+            return jnp.where(
+                c == 0, k, TILE_GROUP + jax.lax.rem(c, 2)
+            )
 
         def get_dma(slot, c, b0=b0):
             start = pl.multiple_of((b0 + c) * C, C)
@@ -185,8 +235,7 @@ def _mlab_kernel(
 
         @pl.when(nch > 0)
         def _(nch=nch, count=count, base=base, b0=b0, dn=dn, invlen=invlen,
-              k=k, get_dma=get_dma):
-            get_dma(0, 0).start()
+              k=k, get_dma=get_dma, slot_of=slot_of):
             if store_mode not in _ACCUM_MODES:
                 node_scr[0][:] = jnp.full(
                     node_scr[0].shape, 2.0, jnp.float32
@@ -195,12 +244,12 @@ def _mlab_kernel(
                     s[:] = jnp.zeros(s.shape, jnp.float32)
 
             def cond(state):
-                c, _, _ = state
+                c, _ = state
                 return c < nch
 
             def body(state):
-                c, zK_prev, aK_min_prev = state
-                slot = jax.lax.rem(c, 2)
+                c, zk_eff_prev = state
+                slot = slot_of(c)
                 get_dma(slot, c).wait()
                 coef = coef_scr[slot]  # [16, C]
                 lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
@@ -208,24 +257,31 @@ def _mlab_kernel(
                 in_run = (glob >= base) & (glob < base + count)
                 zmin_t = coef[15:16, :].T  # [C, 1]
                 chunk_zmin = jnp.min(jnp.where(in_run, zmin_t, 3.0))
-                # Early exit: later fragments can only merge into the last
-                # node; once the K-buffer's worst depth is nearer than all
-                # remaining fragments AND saturated, stop (MLAB truncation).
+                # Early exit against the per-pixel BLOCKED depth bound
+                # zk_eff = max over pixels of (dK where the pixel rejects
+                # behind-dK fragments, else 2.0) — see _blocked_zk below.
+                # A fragment behind a blocked pixel's dK is an exact no-op
+                # (no_overflow: full buffer inserts at pos K and drops) or
+                # a bounded-error drop (overflow: the last node is
+                # saturated, so its merge weight is < 1 - sat).
                 # Accumulation modes must see EVERY fragment (their d_refs
                 # hold sums, not depths, so the depth test is meaningless).
                 if store_mode in _ACCUM_MODES:
                     exit_now = jnp.bool_(False)
                 else:
-                    # Truncate only when the K-buffer's worst depth is
-                    # nearer than every remaining fragment AND the last
-                    # node is saturated — skipped fragments then
-                    # contribute < (1 - aK_min) ~ 1e-3 through the
-                    # overflow merge.  Without the saturation condition
-                    # the truncation depends on the chunk partitioning
-                    # (image-space sharding produces different layouts).
-                    exit_now = (chunk_zmin > zK_prev) & (
-                        aK_min_prev > 0.999
-                    )
+                    exit_now = chunk_zmin > zk_eff_prev
+
+                def _blocked_zk():
+                    # Per-pixel "no fragment behind dK can matter" bound.
+                    # Pixels whose last node is not saturated (or buffer
+                    # not full, for no_overflow) keep bound 2.0: every
+                    # future fragment still matters there.
+                    dK_row = node_scr[0][K - 1 : K, :]
+                    if no_overflow:
+                        blocked = dK_row < 2.0
+                    else:
+                        blocked = node_scr[4][K - 1 : K, :] >= sat
+                    return blocked, dK_row
 
                 # Per-candidate-block processing, shapes [sub, P] /
                 # [2*sub, P].  The DMA granularity stays at `chunk` (lane-
@@ -307,122 +363,167 @@ def _mlab_kernel(
                         return jnp.concatenate([x, x], axis=0)
 
                     tcand = jnp.concatenate([t_in, t_out], axis=0)  # [2C, P]
-                    # Shade ALL candidates once (headlight Blinn-Phong).
-                    baoa2, baba2, bard2 = two(baoa), two(baba), two(bard)
-                    a72 = two(scal(7))
-                    a82 = two(scal(8))
-                    y2 = baoa2 + tcand * bard2
-                    uax = jnp.clip(y2 / baba2, 0.0, 1.0)
-                    attr = (
-                        two(scal(7))
-                        + two(scal(8)) * uax
-                    )
-                    inv_r = pl.reciprocal(
-                        jnp.maximum(two(scal(6)), 1e-12),
-                        approx=True,
-                    )
-                    dn0, dn1, dn2 = dn[0:1, :], dn[1:2, :], dn[2:3, :]
-                    nx = (tcand * dn0 + two(oax) - two(scal(3)) * uax) * inv_r
-                    ny = (tcand * dn1 + two(oay) - two(scal(4)) * uax) * inv_r
-                    nz = (tcand * dn2 + two(oaz) - two(scal(5)) * uax) * inv_r
-                    ndl = -(nx * dn0 + ny * dn1 + nz * dn2)
-                    tnorm = jax.lax.rsqrt(jnp.maximum(baba2, 1e-20))
-                    tdl = -(
-                        two(scal(3)) * dn0
-                        + two(scal(4)) * dn1
-                        + two(scal(5)) * dn2
-                    ) * tnorm
-                    # n.t is nonzero on the sphere caps; full projection of
-                    # the light onto the plane orthogonal to the tangent:
-                    # cos2 = |n.l - (l.t)(n.t)| / sqrt(1 - (l.t)^2).
-                    ndt = (
-                        nx * two(scal(3))
-                        + ny * two(scal(4))
-                        + nz * two(scal(5))
-                    ) * tnorm
-                    denom = jax.lax.rsqrt(jnp.maximum(1.0 - tdl * tdl, 1e-6))
-                    cos1 = jnp.clip(jnp.abs(ndl), 0.0, 1.0)
-                    cos2_ = jnp.clip(jnp.abs(ndl - tdl * ndt) * denom, 0.0, 1.0)
-                    e = 1.0 if use_bands else 1.7
-                    # Mosaic lowers x**e as exp(e*log(x)) and log(0) is
-                    # NaN there (not -inf like XLA:CPU) — silhouette
-                    # fragments hit cos == 0 exactly, so clamp the base
-                    # (1e-20**1.7 flushes to zero in f32, as intended).
-                    cos1s = jnp.maximum(cos1, 1e-20)
-                    cos2s = jnp.maximum(cos2_, 1e-20)
-                    cosc = 0.3 * cos1s**e + 0.7 * cos2s**e
-                    spec = 0.3 * cos1s**30.0
                     tw = jnp.where(tcand < _BIG, two(t0) + tcand, _BIG)
                     # Near/far clip in NDC (the raster pipeline's clip
-                    # volume). Also culls grazing-ray junk candidates
-                    # (k2 ~ 1e-20 quadratics yield t ~ 1e16 'hits' whose
-                    # blown-up shading is NaN under Mosaic) before they
-                    # can reach the K-buffer or the overflow merge.
-                    vz_clip = tw * invlen
-                    znd_clip = zA - zB / jnp.maximum(vz_clip, 1e-12)
+                    # volume), expressed as tw bounds precomputed per tile.
+                    # Also culls grazing-ray junk candidates (k2 ~ 1e-20
+                    # quadratics yield t ~ 1e16 'hits' whose blown-up
+                    # shading is NaN under Mosaic) before they can reach
+                    # the K-buffer or the overflow merge.
                     tw = jnp.where(
-                        (znd_clip >= 0.0) & (znd_clip <= 1.0), tw, _BIG
+                        (tw >= tw_lo) & (tw <= tw_hi), tw, _BIG
                     )
+                    # Exact modes compare in znd space: stored thresholds
+                    # (the peel depth, the K-th node) are znd values the
+                    # extraction computed from tw via this exact formula,
+                    # so recomputing it reproduces them bit-for-bit —
+                    # a tw-space threshold would misround the boundary
+                    # fragment by an ulp and duplicate or skip a layer.
+                    if use_peel or no_overflow:
+                        znd_cand = zA - zB / jnp.maximum(
+                            tw * invlen, 1e-12
+                        )
                     if use_peel:
                         # Depth peeling (DepthPeelingRenderer.cpp:423):
                         # fragments at or in front of the previous pass's
                         # farthest extracted layer are already composited.
-                        vz_peel = tw * invlen
-                        znd_peel = zA - zB / jnp.maximum(vz_peel, 1e-12)
                         tw = jnp.where(
-                            znd_peel > peel_in[k : k + 1, :], tw, _BIG
+                            znd_cand > peel_in[k : k + 1, :], tw, _BIG
                         )
-                    if store_mode == "gather":
-                        # Opacity-optimization gather pass: store importance
-                        # g_i and segment id instead of shaded color
-                        # (reference GeometryPassOpacities.glsl).
-                        rc = attr
-                        gc = two(scal(9)) * jnp.ones_like(attr)  # segment id
-                        bc = jnp.zeros_like(attr)
-                        ac = jnp.ones_like(attr)
-                    elif deferred_shade:
-                        # Shade-after-extract: store the shading FEATURES
-                        # (attr, cos1, cos2) premultiplied through the same
-                        # node algebra; TF color, the Phong cosine POWERS
-                        # (exp/log on the VPU — the kernel's only
-                        # transcendentals) and the depth cue run once per
-                        # extracted NODE in XLA (oit.shade_deferred_nodes)
-                        # instead of once per candidate fragment here.
-                        # Alpha stays exact in-kernel (ordering, overflow
-                        # merge, saturation gate all need it).
-                        alpha = _tf_channels_static(tf_opacity, 1, attr)[0]
-                        if alpha_from_rows:
-                            ac = jnp.clip(
-                                two(scal(11)) + two(scal(12)) * uax,
-                                0.0, 1.0,
+                    if store_mode not in _ACCUM_MODES:
+                        # Per-pixel candidate rejection against the pixel's
+                        # OWN last node (the tile-wide chunk/block culls
+                        # cannot fire while ANY pixel in the tile is
+                        # unsaturated — e.g. one background pixel): behind
+                        # a blocked pixel's dK a fragment inserts at pos K
+                        # and is an exact no-op (no_overflow) or merges
+                        # with weight < 1 - sat (overflow). Rejection also
+                        # shrinks nhit, which gates both the shading below
+                        # and the number of extraction sweeps.
+                        blocked, dK_row = _blocked_zk()
+                        if no_overflow:
+                            tw = jnp.where(
+                                blocked & (znd_cand >= dK_row), _BIG, tw
                             )
                         else:
-                            ac = alpha * opacity_scale
-                        rc = attr
-                        gc = cos1
-                        bc = cos2_
-                    else:
-                        rgb, alpha = _tf_eval_static(tf_color, tf_opacity, attr)
-                        shade_f = 0.1 + 0.9 * cosc
-                        vzf = tw * invlen
-                        fcue = jnp.clip(
-                            (vzf - dmin) / jnp.maximum(dmax - dmin, 1e-6),
-                            0.0, 1.0,
+                            # Saturation mode tolerates the ulp-scale
+                            # boundary misrounding of the tw-space compare
+                            # (coincident surfaces only; within the
+                            # 1 - sat error budget), which keeps the
+                            # [2*sub, P] divide out of the hot path.
+                            t_rej = zB / jnp.maximum(
+                                zA - dK_row, 1e-9
+                            ) * len_p
+                            tw = jnp.where(
+                                blocked & (tw >= t_rej), _BIG, tw
+                            )
+
+                    def shade_candidates():
+                        # Shade ALL candidates once (headlight Blinn-Phong).
+                        baoa2, baba2, bard2 = two(baoa), two(baba), two(bard)
+                        y2 = baoa2 + tcand * bard2
+                        uax = jnp.clip(y2 / baba2, 0.0, 1.0)
+                        attr = (
+                            two(scal(7))
+                            + two(scal(8)) * uax
                         )
-                        fcue = fcue * fcue * cue
-                        if alpha_from_rows:
-                            ac = jnp.clip(
-                                two(scal(11))
-                                + two(scal(12)) * uax,
+                        inv_r = pl.reciprocal(
+                            jnp.maximum(two(scal(6)), 1e-12),
+                            approx=True,
+                        )
+                        dn0, dn1, dn2 = dn[0:1, :], dn[1:2, :], dn[2:3, :]
+                        nx = (tcand * dn0 + two(oax) - two(scal(3)) * uax) * inv_r
+                        ny = (tcand * dn1 + two(oay) - two(scal(4)) * uax) * inv_r
+                        nz = (tcand * dn2 + two(oaz) - two(scal(5)) * uax) * inv_r
+                        ndl = -(nx * dn0 + ny * dn1 + nz * dn2)
+                        tnorm = jax.lax.rsqrt(jnp.maximum(baba2, 1e-20))
+                        tdl = -(
+                            two(scal(3)) * dn0
+                            + two(scal(4)) * dn1
+                            + two(scal(5)) * dn2
+                        ) * tnorm
+                        # n.t is nonzero on the sphere caps; full projection of
+                        # the light onto the plane orthogonal to the tangent:
+                        # cos2 = |n.l - (l.t)(n.t)| / sqrt(1 - (l.t)^2).
+                        ndt = (
+                            nx * two(scal(3))
+                            + ny * two(scal(4))
+                            + nz * two(scal(5))
+                        ) * tnorm
+                        denom = jax.lax.rsqrt(
+                            jnp.maximum(1.0 - tdl * tdl, 1e-6)
+                        )
+                        cos1 = jnp.clip(jnp.abs(ndl), 0.0, 1.0)
+                        cos2_ = jnp.clip(
+                            jnp.abs(ndl - tdl * ndt) * denom, 0.0, 1.0
+                        )
+                        e = 1.0 if use_bands else 1.7
+                        # Mosaic lowers x**e as exp(e*log(x)) and log(0) is
+                        # NaN there (not -inf like XLA:CPU) — silhouette
+                        # fragments hit cos == 0 exactly, so clamp the base
+                        # (1e-20**1.7 flushes to zero in f32, as intended).
+                        cos1s = jnp.maximum(cos1, 1e-20)
+                        cos2s = jnp.maximum(cos2_, 1e-20)
+                        cosc = 0.3 * cos1s**e + 0.7 * cos2s**e
+                        spec = 0.3 * cos1s**30.0
+                        if store_mode == "gather":
+                            # Opacity-optimization gather pass: store
+                            # importance g_i and segment id instead of shaded
+                            # color (reference GeometryPassOpacities.glsl).
+                            rc = attr
+                            gc = two(scal(9)) * jnp.ones_like(attr)  # seg id
+                            bc = jnp.zeros_like(attr)
+                            ac = jnp.ones_like(attr)
+                        elif deferred_shade:
+                            # Shade-after-extract: store the shading FEATURES
+                            # (attr, cos1, cos2) premultiplied through the
+                            # same node algebra; TF color, the Phong cosine
+                            # POWERS (exp/log on the VPU — the kernel's only
+                            # transcendentals) and the depth cue run once per
+                            # extracted NODE in XLA (oit.shade_deferred_nodes)
+                            # instead of once per candidate fragment here.
+                            # Alpha stays exact in-kernel (ordering, overflow
+                            # merge, saturation gate all need it).
+                            alpha = _tf_channels_static(tf_opacity, 1, attr)[0]
+                            if alpha_from_rows:
+                                ac = jnp.clip(
+                                    two(scal(11)) + two(scal(12)) * uax,
+                                    0.0, 1.0,
+                                )
+                            else:
+                                ac = alpha * opacity_scale
+                            rc = attr
+                            gc = cos1
+                            bc = cos2_
+                        else:
+                            rgb, alpha = _tf_eval_static(
+                                tf_color, tf_opacity, attr
+                            )
+                            shade_f = 0.1 + 0.9 * cosc
+                            vzf = tw * invlen
+                            fcue = jnp.clip(
+                                (vzf - dmin) / jnp.maximum(dmax - dmin, 1e-6),
                                 0.0, 1.0,
                             )
-                        else:
-                            ac = alpha * opacity_scale
-                        rc = (rgb[0] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
-                        gc = (rgb[1] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
-                        bc = (rgb[2] * shade_f + spec) * (1 - fcue) + 0.5 * fcue
+                            fcue = fcue * fcue * cue
+                            if alpha_from_rows:
+                                ac = jnp.clip(
+                                    two(scal(11))
+                                    + two(scal(12)) * uax,
+                                    0.0, 1.0,
+                                )
+                            else:
+                                ac = alpha * opacity_scale
+                            rc = (rgb[0] * shade_f + spec) * (1 - fcue) \
+                                + 0.5 * fcue
+                            gc = (rgb[1] * shade_f + spec) * (1 - fcue) \
+                                + 0.5 * fcue
+                            bc = (rgb[2] * shade_f + spec) * (1 - fcue) \
+                                + 0.5 * fcue
+                        return rc, gc, bc, ac
 
                     if store_mode in _ACCUM_MODES:
+                        rc, gc, bc, ac = shade_candidates()
                         # Accumulation modes: no per-fragment ordering.
                         valid_c = tw < _BIG
                         # MBOIT log depth warp (MBOITHeader.glsl:49-52).
@@ -573,21 +674,15 @@ def _mlab_kernel(
                                 axis=0, keepdims=True,
                             )
 
-                    extraction_slots = 0 if store_mode in _ACCUM_MODES else K
-                    if extraction_slots:
-                        tw_scr[:] = tw
-                        nhit = jnp.max(
-                            jnp.sum(jnp.where(tw < _BIG, 1, 0), axis=0)
-                        )
                     # K nearest extractions + insertion into the node
-                    # array.  Sweep s only runs while some pixel still has
-                    # more than s live candidates; a skipped sweep is an
-                    # exact no-op (the empty carry inserts at pos == K), so
-                    # gating changes nothing but the work done.
-                    for _slot in range(extraction_slots):
+                    # array.  The sweep count is data-dependent
+                    # (min(nhit, K)): one fori_loop with a dynamic trip
+                    # count instead of K statically-unrolled pl.when
+                    # regions — K scalar-core branches per block cost more
+                    # than the skipped vector work they guard.
+                    def sweep_once(rc, gc, bc, ac):
 
-                        @pl.when(nhit > _slot)
-                        def _(_slot=_slot):
+                        def _run():
                             tw_s = tw_scr[:]
                             bt = jnp.min(tw_s, axis=0, keepdims=True)
                             has = bt < _BIG
@@ -664,6 +759,14 @@ def _mlab_kernel(
                             # earlier block/chunk — the within-sweep window
                             # only dedups ties that land in the same block.
                             # pos = K turns the insert into a no-op.
+                            # Known asymmetry (accepted): two DISTINCT
+                            # tubes crossing within the ~1e-6-relative
+                            # window lose the later surface's alpha here,
+                            # where the within-sweep window would average
+                            # them. Matching on segment id would fix it but
+                            # costs a 6th node channel through every sweep;
+                            # the window is ~1 ulp wide, so genuine losses
+                            # are confined to exactly-coincident geometry.
                             eps_znd = jnp.abs(zB) * 1e-6 / jnp.maximum(
                                 bt * invlen, 1e-12
                             )
@@ -731,11 +834,37 @@ def _mlab_kernel(
                                 ref[:] = new
                             tw_scr[:] = jnp.where(win, _BIG, tw_s)
 
+                        _run()
+
+                    if store_mode not in _ACCUM_MODES:
+                        tw_scr[:] = tw
+                        nhit = jnp.max(
+                            jnp.sum(jnp.where(tw < _BIG, 1, 0), axis=0)
+                        )
+
+                        # Candidate shading and the extraction sweeps only
+                        # run while the block has a live candidate at all —
+                        # in saturated tiles the per-pixel rejection above
+                        # empties whole blocks, which then pay only the
+                        # intersection math.
+                        @pl.when(nhit > 0)
+                        def _():
+                            rc, gc, bc, ac = shade_candidates()
+
+                            def _sweep_body(_s, carry):
+                                sweep_once(rc, gc, bc, ac)
+                                return carry
+
+                            jax.lax.fori_loop(
+                                0, jnp.minimum(nhit, K), _sweep_body,
+                                jnp.int32(0),
+                            )
+
                 @pl.when(jnp.logical_not(exit_now))
                 def _():
                     @pl.when(c + 1 < nch)
                     def _():
-                        get_dma(1 - slot, c + 1).start()
+                        get_dma(slot_of(c + 1), c + 1).start()
 
                     for j in range(C // sub):
                         jlo = j * sub
@@ -754,36 +883,37 @@ def _mlab_kernel(
                             glob_lo + sub > base
                         )
                         if store_mode not in _ACCUM_MODES:
-                            # Block-level saturation skip against the
-                            # CURRENT node state (the chunk-level early
-                            # exit only sees the previous chunk's carry).
+                            # Block-level cull against the CURRENT node
+                            # state (the chunk-level early exit only sees
+                            # the previous chunk's carry): skip the block
+                            # when every pixel that could still accept a
+                            # fragment has its bound in front of the
+                            # block's nearest candidate.
                             sub_zmin = jnp.min(
                                 jnp.where(
                                     in_run_s, zmin_t[jlo : jlo + sub], 3.0
                                 )
                             )
-                            zK_cur = jnp.max(node_scr[0][K - 1 : K, :])
-                            aK_cur = jnp.min(node_scr[4][K - 1 : K, :])
-                            live = live & jnp.logical_not(
-                                (sub_zmin > zK_cur) & (aK_cur > 0.999)
+                            blocked_b, dK_b = _blocked_zk()
+                            zk_eff_cur = jnp.max(
+                                jnp.where(blocked_b, dK_b, 2.0)
                             )
+                            live = live & (sub_zmin <= zk_eff_cur)
 
                         @pl.when(live)
                         def _(scal_j=scal_j, in_run_s=in_run_s):
                             process(scal_j, in_run_s)
 
                 if store_mode in _ACCUM_MODES:
-                    zK = jnp.float32(2.0)
-                    aK_min = jnp.float32(0.0)
+                    zk_eff = jnp.float32(2.0)
                 else:
-                    zK = jnp.max(node_scr[0][K - 1 : K, :])
-                    aK_min = jnp.min(node_scr[4][K - 1 : K, :])
+                    blocked_c, dK_c = _blocked_zk()
+                    zk_eff = jnp.max(jnp.where(blocked_c, dK_c, 2.0))
                 c_next = jnp.where(exit_now, nch, c + 1)
-                return (c_next, zK, aK_min)
+                return (c_next, zk_eff)
 
             jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(0), jnp.float32(2.0), jnp.float32(0.0)),
+                cond, body, (jnp.int32(0), jnp.float32(2.0))
             )
             if store_mode not in _ACCUM_MODES:
                 # Final node state -> per-node output planes.
@@ -799,7 +929,7 @@ def _mlab_kernel(
     static_argnames=(
         "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
         "use_bands", "store_mode", "alpha_from_rows", "n_mom", "trig",
-        "no_overflow", "deferred_shade", "sub", "interpret",
+        "no_overflow", "deferred_shade", "sub", "sat", "interpret",
     ),
 )
 def rasterize_capsules_mlab(
@@ -822,6 +952,7 @@ def rasterize_capsules_mlab(
     no_overflow: bool = False,  # drop evicted fragments (exact peeling pass)
     deferred_shade: bool = False,  # nodes carry (attr, cosc, spec) features
     sub: int = 32,  # compute sub-chunk width (DMA stays at `chunk`)
+    sat: float = 0.99,  # saturation threshold for behind-dK rejection
     interpret: bool = False,
 ):
     """MLAB-K transparency pass.
@@ -849,8 +980,14 @@ def rasterize_capsules_mlab(
     if deferred_shade and store_mode != "shade":
         raise ValueError("deferred_shade only applies to store_mode='shade'")
     # Sub-chunk width: a divisor of C, sublane-aligned (multiple of 8).
-    if sub <= 0 or sub > C or C % sub or sub % 8:
+    # A sub wider than the chunk clamps to it (small test scenes use tiny
+    # chunks); anything else is a caller error, not a silent fallback.
+    if sub >= C:
         sub = C
+    elif sub <= 0 or C % sub or sub % 8:
+        raise ValueError(
+            f"sub={sub} must be a multiple-of-8 divisor of chunk={C}"
+        )
 
     kernel = functools.partial(
         _mlab_kernel,
@@ -872,6 +1009,7 @@ def rasterize_capsules_mlab(
         no_overflow=no_overflow,
         deferred_shade=deferred_shade,
         sub=sub,
+        sat=sat,
     )
     extra_in = []
     extra_in_specs = []
@@ -905,8 +1043,9 @@ def rasterize_capsules_mlab(
         ]
         * n_out,
         scratch_shapes=[
-            pltpu.VMEM((2, R, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # TILE_GROUP first-chunk prefetch slots + 2 double-buffer slots.
+            pltpu.VMEM((TILE_GROUP + 2, R, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((TILE_GROUP + 2,)),
             # [K, P] node-buffer channels (d, r, g, b, a) for the
             # vectorized insertion sort.
             *([pltpu.VMEM((K, P), jnp.float32)] * 5),

@@ -73,7 +73,7 @@ def shade_deferred_nodes(depths, feat, alpha, proj_ab, dmin, dmax, cue,
     return col * alpha[None]
 
 
-@partial(jax.jit, static_argnames=("settings", "K", "opacity"))
+@partial(jax.jit, static_argnames=("settings", "K", "opacity", "sub"))
 def render_tubes_mlab(
     scene: CapsuleScene,
     view_proj: jnp.ndarray,
@@ -83,6 +83,7 @@ def render_tubes_mlab(
     K: int = 8,
     opacity: float = 0.3,
     seg_alpha: jnp.ndarray = None,  # [2, S]: per-segment (alpha0, dalpha)
+    sub: int = 32,  # kernel compute sub-chunk width
 ) -> jnp.ndarray:
     """Transparent tube render -> [4, H, W] linear RGBA.
 
@@ -114,6 +115,7 @@ def render_tubes_mlab(
         settings.tf_color, settings.tf_opacity,
         alpha_from_rows=seg_alpha is not None,
         deferred_shade=True,
+        sub=sub,
         interpret=interpret,
     )
     rgb = shade_deferred_nodes(
