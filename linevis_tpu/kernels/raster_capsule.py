@@ -95,6 +95,24 @@ def _capsule_kernel(
     zB = params_ref[10]
     px = params_ref[19]  # world units per pixel at view depth 1 (AA)
 
+    # Group prologue: start the FIRST chunk's DMA for every tile in the
+    # group up front (slot k, sem k) so tile k's payload lands while
+    # tiles 0..k-1 compute — most tiles hold a single chunk, so without
+    # this each tile's processing begins with a cold DMA wait. Later
+    # chunks (c >= 1) double-buffer through the two extra slots.
+    for k in range(TILE_GROUP):
+        t = gi * TILE_GROUP + k
+        count_k = count_ref[t]
+        b0_k = start_ref[t] // C
+
+        @pl.when(count_k > 0)
+        def _(b0_k=b0_k, k=k):
+            pltpu.make_async_copy(
+                payload_hbm.at[:, pl.ds(pl.multiple_of(b0_k * C, C), C)],
+                coef_scr.at[k],
+                sem.at[k],
+            ).start()
+
     for k in range(TILE_GROUP):
         t = gi * TILE_GROUP + k
         count = count_ref[t]
@@ -117,6 +135,11 @@ def _capsule_kernel(
             [dx * invlen, dy * invlen, dz * invlen], axis=0
         )  # [3, P]
 
+        def slot_of(c, k=k):
+            # Chunk 0 was group-prefetched into slot k; chunks >= 1
+            # double-buffer through the two extra slots.
+            return jnp.where(c == 0, k, TILE_GROUP + jax.lax.rem(c, 2))
+
         def get_dma(slot, c, b0=b0):
             start = pl.multiple_of((b0 + c) * C, C)
             return pltpu.make_async_copy(
@@ -126,8 +149,7 @@ def _capsule_kernel(
 
         @pl.when(nch > 0)
         def _(nch=nch, count=count, base=base, b0=b0, dn=dn, invlen=invlen,
-              k=k, get_dma=get_dma):
-            get_dma(0, 0).start()
+              k=k, get_dma=get_dma, slot_of=slot_of):
 
             def cond(state):
                 c, _zfar = state
@@ -135,7 +157,7 @@ def _capsule_kernel(
 
             def body(state):
                 c, zfar_prev = state
-                slot = jax.lax.rem(c, 2)
+                slot = slot_of(c)
                 get_dma(slot, c).wait()
                 coef = coef_scr[slot]  # [16, C]
                 lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
@@ -220,12 +242,19 @@ def _capsule_kernel(
                         r_w = scal(6)
 
                         def sdist(d2, t_rel):
+                            # Coverage is a 0..1 blend factor: the approx
+                            # reciprocal's 2^-12 relative error is far below
+                            # a visible coverage step.
                             w_px = jnp.maximum(
                                 (t0 + t_rel) * invlen, 1e-6
                             ) * px
-                            return (r_w - jnp.sqrt(jnp.maximum(d2, 0.0))) / w_px
+                            return (
+                                r_w - jnp.sqrt(jnp.maximum(d2, 0.0))
+                            ) * pl.reciprocal(w_px, approx=True)
 
-                        sdb = sdist(rr - h / (k2 * baba), tb)
+                        sdb = sdist(
+                            rr - h * pl.reciprocal(k2 * baba, approx=True), tb
+                        )
                         sda = sdist(rr - ha, ta)
                         sdb2 = sdist(rr - hb, tbb)
                         okb = (sdb > -0.5) & (yb > 0.0) & (yb < baba)
@@ -270,6 +299,14 @@ def _capsule_kernel(
                     vz = bt * invlen
                     zndc = zA - zB / jnp.maximum(vz, 1e-12)
                     row = depth_ref[k : k + 1, :]
+                    # Strict < means the EARLIER block wins exact f32 depth
+                    # ties across blocks, while min-id tie-breaking applies
+                    # within a block — so the winning id at exactly-equal
+                    # depths can depend on the `sub` partitioning. Exact
+                    # ties between distinct segments only occur at
+                    # coincident geometry (shared joint caps), where attr/
+                    # normal are continuous across the pair: the IMAGE is
+                    # sub-invariant, only the id buffer may differ there.
                     take = hit & (zndc < row)
 
                     @pl.when(jnp.any(take))
@@ -317,7 +354,7 @@ def _capsule_kernel(
                 def _():
                     @pl.when(c + 1 < nch)
                     def _():
-                        get_dma(1 - slot, c + 1).start()
+                        get_dma(slot_of(c + 1), c + 1).start()
 
                     for j in range(C // sub):
                         jlo = j * sub
@@ -390,8 +427,14 @@ def rasterize_capsules_pallas(
     counts = jnp.pad(csr.tile_count, (0, n_pad - n_tiles))
     starts = jnp.pad(csr.tile_start, (0, n_pad - n_tiles))
     # Sub-chunk width: a divisor of C, sublane-aligned (multiple of 8).
-    if sub <= 0 or sub > C or C % sub or sub % 8:
+    # A sub wider than the chunk clamps to it (small test scenes use tiny
+    # chunks); anything else is a caller error, not a silent fallback.
+    if sub >= C:
         sub = C
+    elif sub <= 0 or C % sub or sub % 8:
+        raise ValueError(
+            f"sub={sub} must be a multiple-of-8 divisor of chunk={C}"
+        )
 
     kernel = functools.partial(
         _capsule_kernel,
@@ -416,8 +459,9 @@ def rasterize_capsules_pallas(
         ]
         * 10,
         scratch_shapes=[
-            pltpu.VMEM((2, R, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # TILE_GROUP first-chunk prefetch slots + 2 double-buffer slots.
+            pltpu.VMEM((TILE_GROUP + 2, R, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((TILE_GROUP + 2,)),
         ],
     )
     outs = pl.pallas_call(

@@ -184,7 +184,10 @@ def build_sorted_binning(
         payload_rows[:, None, :], (R, span, T)
     ).reshape(R, Np)
     ops = (key,) + tuple(rows[i] for i in range(R))
-    sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=True, num_keys=1)
+    # Unstable sort: XLA's network is deterministic either way, and
+    # within-bucket order only permutes equal-key candidates, which the
+    # kernels' depth-tie windows already average/dedup order-independently.
+    sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
     sorted_keys = sorted_ops[0]
     payload = jnp.stack(sorted_ops[1:], axis=0)  # [R, Np]
     payload = jnp.pad(payload, ((0, 0), (0, C)))

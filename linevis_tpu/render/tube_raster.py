@@ -251,13 +251,14 @@ def prepare_capsule_frame(
     return csr, params, basis
 
 
-@partial(jax.jit, static_argnames=("settings",))
+@partial(jax.jit, static_argnames=("settings", "sub"))
 def render_tubes(
     scene: CapsuleScene,
     view_proj: jnp.ndarray,
     camera_position: jnp.ndarray,
     proj_ab: jnp.ndarray,  # [2]
     settings: RasterSettings,
+    sub: int = 32,  # kernel compute sub-chunk width
 ) -> jnp.ndarray:
     """Render capsules -> [4, H, W] linear RGBA (channels-first)."""
     csr, params, basis = prepare_capsule_frame(
@@ -268,7 +269,7 @@ def render_tubes(
     depth_t, id_t, gbuf_t = rasterize_capsules_pallas(
         csr, params, settings.width, settings.height,
         settings.tile_w, settings.tile_h, interpret=interpret,
-        use_aa=settings.aa,
+        use_aa=settings.aa, sub=sub,
     )
 
     def unp(x):
