@@ -132,7 +132,9 @@ def build_segment_grid(
     poison = jnp.where(okf[None, :], rows_b[0:3], 1e10)
     rows_b = jnp.concatenate([poison, rows_b[3:]], axis=0)
     ops = (key,) + tuple(rows_b[i] for i in range(8))
-    sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=True, num_keys=1)
+    # Unstable: within-cell order is irrelevant (occlusion is a max
+    # over pairs; segment order within a cell does not matter).
+    sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
     skeys = sorted_ops[0]
     records = jnp.stack(sorted_ops[1:], axis=0)
     records = jnp.pad(records, ((0, 0), (0, chunk)))
@@ -157,14 +159,13 @@ def _ao_kernel(
     seg_begin_ref,  # [n_chunks_pad]
     seg_chunks_ref,  # [n_chunks_pad] — number of segment chunks to test
     # inputs
-    rays_hbm,  # [8, n_pairs_pad + C] ray records, pair-sorted by cell
+    rays_vmem,  # [8, TILE_GROUP*C] this group's rays (Mosaic-pipelined)
     segs_hbm,  # [8, Ns + C] cell-sorted segment records
     # outputs
     occ_ref,  # [TILE_GROUP, C] occlusion flag per pair slot
     # scratch
-    ray_scr,  # [8, C]
-    seg_scr,  # [2, 8, C]
-    sems,  # DMA (3,)
+    seg_scr,  # [TILE_GROUP + 2, 8, C]
+    sems,  # DMA (TILE_GROUP + 2,)
     *,
     chunk: int,
 ):
@@ -173,22 +174,36 @@ def _ao_kernel(
 
     occ_ref[:] = jnp.zeros(occ_ref.shape, jnp.float32)
 
+    # Group prologue: start the FIRST segment chunk's DMA for every
+    # pair-chunk in the group (slot k) so it lands while earlier chunks
+    # compute; chunks >= 1 double-buffer through the two extra slots.
+    # The ray records arrive through the Mosaic input pipeline (the pair
+    # blocks are contiguous per grid step), so no manual ray DMA at all.
+    for k in range(TILE_GROUP):
+        pc = gi * TILE_GROUP + k
+        nsc_k = seg_chunks_ref[pc]
+        sb_k = seg_begin_ref[pc]
+
+        @pl.when(nsc_k > 0)
+        def _(sb_k=sb_k, k=k):
+            pltpu.make_async_copy(
+                segs_hbm.at[:, pl.ds(pl.multiple_of((sb_k // C) * C, C), C)],
+                seg_scr.at[k],
+                sems.at[k],
+            ).start()
+
     for k in range(TILE_GROUP):
         pc = gi * TILE_GROUP + k  # pair-chunk index
         seg_begin = seg_begin_ref[pc]
         n_seg_chunks = seg_chunks_ref[pc]
 
-        # Load this chunk's 128 rays.
-        rdma = pltpu.make_async_copy(
-            rays_hbm.at[:, pl.ds(pl.multiple_of(pc * C, C), C)],
-            ray_scr, sems.at[2],
-        )
-        rdma.start()
-        rdma.wait()
-        rays = ray_scr[:]  # [8, C] -> rays are LANES
+        rays = rays_vmem[:, k * C : (k + 1) * C]  # [8, C]: rays are LANES
         ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
         dxr, dyr, dzr = rays[3:4, :], rays[4:5, :], rays[5:6, :]
         tmax = rays[6:7, :]
+
+        def slot_of(c, k=k):
+            return jnp.where(c == 0, k, TILE_GROUP + jax.lax.rem(c, 2))
 
         def get_dma(slot, c, seg_begin=seg_begin):
             start = pl.multiple_of((seg_begin // C + c) * C, C)
@@ -198,21 +213,25 @@ def _ao_kernel(
 
         @pl.when(n_seg_chunks > 0)
         def _(n_seg_chunks=n_seg_chunks, k=k, get_dma=get_dma,
+              slot_of=slot_of,
               ox=ox, oy=oy, oz=oz, dxr=dxr, dyr=dyr, dzr=dzr, tmax=tmax):
-            get_dma(0, 0).start()
 
             def cond(state):
-                c, _ = state
-                return c < n_seg_chunks
+                # Early out once every ray in the chunk is occluded —
+                # binary occlusion can only grow, so remaining segment
+                # chunks cannot change the result (the AO analogue of the
+                # raster's saturation exit).
+                c, occ = state
+                return (c < n_seg_chunks) & (jnp.min(occ) < 1.0)
 
             def body(state):
                 c, occ = state
-                slot = jax.lax.rem(c, 2)
+                slot = slot_of(c)
                 get_dma(slot, c).wait()
 
                 @pl.when(c + 1 < n_seg_chunks)
                 def _():
-                    get_dma(1 - slot, c + 1).start()
+                    get_dma(slot_of(c + 1), c + 1).start()
 
                 seg = seg_scr[slot]  # [8, C]
 
@@ -285,11 +304,22 @@ def _trace_pairs(
     seg_begin = jnp.pad(seg_begin, (0, n_pad - n_chunks))
     seg_chunks = jnp.pad(seg_chunks, (0, n_pad - n_chunks))
     kernel = functools.partial(_ao_kernel, chunk=C)
+    # Rays are pair-contiguous per grid step: feed them through the Mosaic
+    # input pipeline (auto double-buffered across steps) instead of manual
+    # DMA. Re-pad the column count to exactly n_pad * C blocks.
+    cols = rays_sorted.shape[1]
+    if cols < n_pad * C:
+        rays_blocked = jnp.pad(rays_sorted, ((0, 0), (0, n_pad * C - cols)))
+    else:
+        rays_blocked = rays_sorted[:, : n_pad * C]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_pad // TILE_GROUP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (8, TILE_GROUP * C), lambda i, *_: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
@@ -298,9 +328,9 @@ def _trace_pairs(
             )
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, C), jnp.float32),
-            pltpu.VMEM((2, 8, C), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            # TILE_GROUP first-chunk prefetch slots + 2 double-buffer slots.
+            pltpu.VMEM((TILE_GROUP + 2, 8, C), jnp.float32),
+            pltpu.SemaphoreType.DMA((TILE_GROUP + 2,)),
         ],
     )
     (occ,) = pl.pallas_call(
@@ -308,7 +338,7 @@ def _trace_pairs(
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad, C), jnp.float32)],
         interpret=interpret,
-    )(seg_begin, seg_chunks, rays_sorted, grid_records)
+    )(seg_begin, seg_chunks, rays_blocked, grid_records)
     return occ[:n_chunks].reshape(-1)
 
 
@@ -353,19 +383,25 @@ def trace_ao_occlusion(
 
     n_pairs = max_ray_cells * R
     key = cell.reshape(-1)
-    ray_rows = jnp.concatenate(
-        [origins, dirs, t_max[None], jnp.zeros((1, R), jnp.float32)], axis=0
-    )
+    # Sort-carry only the 7 live record rows (o, d, t_max); the 8th row is
+    # sublane padding, reattached as zeros after the sort.
+    ray_rows = jnp.concatenate([origins, dirs, t_max[None]], axis=0)
     rows_b = jnp.broadcast_to(
-        ray_rows[:, None, :], (8, max_ray_cells, R)
-    ).reshape(8, n_pairs)
+        ray_rows[:, None, :], (7, max_ray_cells, R)
+    ).reshape(7, n_pairs)
     ray_ids = jnp.broadcast_to(
         jnp.arange(R, dtype=jnp.int32)[None, :], (max_ray_cells, R)
     ).reshape(-1)
-    ops = (key, ray_ids) + tuple(rows_b[i] for i in range(8))
-    sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=True, num_keys=1)
+    ops = (key, ray_ids) + tuple(rows_b[i] for i in range(7))
+    # Unstable: within-cell order is irrelevant (occlusion is a max
+    # over pairs; segment order within a cell does not matter).
+    sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
     skeys, sids = sorted_ops[0], sorted_ops[1]
-    rays_sorted = jnp.stack(sorted_ops[2:], axis=0)
+    rays_sorted = jnp.concatenate(
+        [jnp.stack(sorted_ops[2:], axis=0),
+         jnp.zeros((1, n_pairs), jnp.float32)],
+        axis=0,
+    )
     # Pad to chunk multiple (+ one extra chunk for the DMA window).
     n_pairs_pad = -(-n_pairs // C) * C
     pad = n_pairs_pad + C - n_pairs
