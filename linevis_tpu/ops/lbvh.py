@@ -296,3 +296,123 @@ def ray_query(
     if enumerate_mode:
         return jax.vmap(query_one)(origins, directions, t_min, prim_min)
     return jax.vmap(query_one)(origins, directions)
+
+
+def build_bvh_sah(aabb_min, aabb_max, num_bins: int = 16) -> Lbvh:
+    """Binned-SAH top-down builder (host-side numpy), same `Lbvh` layout.
+
+    The reference offers four builder qualities (Binned SAH / Sweep SAH /
+    LOC / Linear, `src/LineData/TrianglePayload/NodesBVHTreePayload.cpp:
+    474-521` over madmann91/bvh; enum `src/Renderers/Deferred/
+    DeferredModes.hpp:79-92`) and builds them ON THE CPU — so does this
+    one: a scene-build-time operation, not a per-frame kernel. Topology
+    matches `build_lbvh` (N single-primitive leaves at ids [N-1, 2N-2]
+    over a leaf permutation, N-1 internal nodes, internal ids in preorder
+    so every child id exceeds its parent's), and `leaf_prim` carries the
+    permutation — `ray_query` and the transparent ray tracer consume
+    either builder unchanged.
+
+    Split rule per node: `num_bins` uniform centroid bins on the largest
+    (then every) axis, take the partition minimizing
+    SA_L*N_L + SA_R*N_R; median split when binning degenerates.
+    """
+    amin = np.asarray(aabb_min, np.float32)
+    amax = np.asarray(aabb_max, np.float32)
+    n = amin.shape[0]
+    if n < 2:
+        raise ValueError("need >= 2 primitives")
+    cent = 0.5 * (amin + amax)
+
+    left = np.zeros((n - 1,), np.int32)
+    right = np.zeros((n - 1,), np.int32)
+    node_min = np.zeros((2 * n - 1, 3), np.float32)
+    node_max = np.zeros((2 * n - 1, 3), np.float32)
+    perm = np.arange(n, dtype=np.int32)
+
+    def surface(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+                + d[..., 2] * d[..., 0])
+
+    def split_range(lo, hi):
+        """Partition perm[lo:hi]; returns mid (lo < mid < hi)."""
+        idx = perm[lo:hi]
+        c = cent[idx]
+        clo = c.min(axis=0)
+        chi = c.max(axis=0)
+        ext = chi - clo
+        best = None  # (cost, axis, bin_j)
+        for ax in np.argsort(-ext):
+            if ext[ax] <= 1e-12:
+                continue
+            rel = (c[:, ax] - clo[ax]) / ext[ax]
+            b = np.minimum((rel * num_bins).astype(np.int32), num_bins - 1)
+            counts = np.bincount(b, minlength=num_bins)
+            if int((counts > 0).sum()) < 2:
+                continue
+            binmin = np.full((num_bins, 3), np.inf, np.float32)
+            binmax = np.full((num_bins, 3), -np.inf, np.float32)
+            np.minimum.at(binmin, b, amin[idx])
+            np.maximum.at(binmax, b, amax[idx])
+            lc = np.cumsum(counts)[:-1]
+            rc = (hi - lo) - lc
+            lmin = np.minimum.accumulate(binmin, axis=0)[:-1]
+            lmax = np.maximum.accumulate(binmax, axis=0)[:-1]
+            rmin = np.minimum.accumulate(binmin[::-1], axis=0)[::-1][1:]
+            rmax = np.maximum.accumulate(binmax[::-1], axis=0)[::-1][1:]
+            ok = (lc > 0) & (rc > 0)
+            cost = np.where(
+                ok, surface(lmin, lmax) * lc + surface(rmin, rmax) * rc,
+                np.inf,
+            )
+            j = int(np.argmin(cost))
+            if np.isfinite(cost[j]) and (best is None or cost[j] < best[0]):
+                best = (float(cost[j]), int(ax), j)
+        if best is None:
+            return lo + (hi - lo) // 2
+        _, ax, j = best
+        rel = (c[:, ax] - clo[ax]) / ext[ax]
+        b = np.minimum((rel * num_bins).astype(np.int32), num_bins - 1)
+        go_left = b <= j
+        order = np.argsort(~go_left, kind="stable")
+        perm[lo:hi] = idx[order]
+        mid = lo + int(go_left.sum())
+        if mid == lo or mid == hi:
+            mid = lo + (hi - lo) // 2
+        return mid
+
+    def child_id(lo, hi, next_internal):
+        if hi - lo == 1:
+            return (n - 1) + lo, next_internal
+        return next_internal, next_internal + 1
+
+    # Iterative DFS; internal ids in preorder (parent < children).
+    next_internal = 1  # root = 0
+    stack = [(0, 0, n)]
+    while stack:
+        my_id, lo, hi = stack.pop()
+        mid = split_range(lo, hi)
+        lid, next_internal = child_id(lo, mid, next_internal)
+        rid, next_internal = child_id(mid, hi, next_internal)
+        left[my_id] = lid
+        right[my_id] = rid
+        if mid - lo > 1:
+            stack.append((lid, lo, mid))
+        if hi - mid > 1:
+            stack.append((rid, mid, hi))
+
+    # Bounds: leaves from the final permutation, then internal nodes in
+    # reverse id order (preorder ids => children already resolved).
+    node_min[n - 1:] = amin[perm]
+    node_max[n - 1:] = amax[perm]
+    for i in range(n - 2, -1, -1):
+        node_min[i] = np.minimum(node_min[left[i]], node_min[right[i]])
+        node_max[i] = np.maximum(node_max[left[i]], node_max[right[i]])
+
+    return Lbvh(
+        left=jnp.asarray(left),
+        right=jnp.asarray(right),
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        leaf_prim=jnp.asarray(perm),
+    )

@@ -39,9 +39,14 @@ __all__ = [
 ]
 
 
-def build_capsule_bvh(scene: CapsuleScene):
-    """LBVH over per-segment capsule AABBs (the BLAS role). Masked-out
-    segments get far-away degenerate boxes so they never intersect."""
+def build_capsule_bvh(scene: CapsuleScene, builder: str = "linear"):
+    """BVH over per-segment capsule AABBs (the BLAS role). Masked-out
+    segments get far-away degenerate boxes so they never intersect.
+
+    `builder`: "linear" (Morton radix LBVH, on-device) or "binned_sah"
+    (host-side binned SAH — higher tree quality, slower build; the
+    reference's builder-quality options, NodesBVHTreePayload.cpp:474-521).
+    """
     r = scene.radius
     a = scene.a
     b = scene.a + scene.ba
@@ -50,6 +55,14 @@ def build_capsule_bvh(scene: CapsuleScene):
     far = jnp.float32(1e7)
     lo = jnp.where(scene.mask[None], lo, far)
     hi = jnp.where(scene.mask[None], hi, far)
+    if builder == "binned_sah":
+        import numpy as _np
+
+        from linevis_tpu.ops.lbvh import build_bvh_sah
+
+        return build_bvh_sah(_np.asarray(lo.T), _np.asarray(hi.T))
+    if builder != "linear":
+        raise ValueError(f"unknown BVH builder {builder!r}")
     return build_lbvh(lo.T, hi.T)
 
 

@@ -356,7 +356,14 @@ class VulkanRayTracerRenderer(LineRenderer):
             self._frame = 0
             self._last_vp = vp_np
         if self._bvh is None:
-            self._bvh = build_capsule_bvh(scene)
+            # Builder quality option (reference bvhBuildAlgorithm,
+            # DeferredModes.hpp:79-92): "linear" | "binned_sah".
+            self._bvh = build_capsule_bvh(
+                scene,
+                builder=str(
+                    self.settings.get_value("bvhBuildAlgorithm", "linear")
+                ),
+            )
         # Frame 0 is unjittered (deterministic-sampling parity); later
         # frames take Halton(2,3) subpixel offsets.
         if self._frame == 0:

@@ -129,3 +129,48 @@ def test_ray_query_custom_primitive_fn():
             assert prim[q] == ts.argmin()
         else:
             assert prim[q] == -1
+
+
+def test_binned_sah_builder_matches_linear():
+    """SAH builder (NodesBVHTreePayload.cpp:474-521 builder-quality
+    option) returns the same closest hits as the Morton LBVH and a valid
+    preorder topology."""
+    from linevis_tpu.ops.lbvh import build_bvh_sah
+
+    n = 300
+    amin, amax = _boxes(n, seed=7)
+    sah = build_bvh_sah(amin, amax)
+    lin = build_lbvh(jnp.asarray(amin), jnp.asarray(amax))
+
+    # Topology: preorder internal ids, every node referenced exactly once,
+    # leaf permutation is a bijection.
+    left = np.asarray(sah.left)
+    right = np.asarray(sah.right)
+    seen = np.zeros(2 * n - 1, bool)
+    seen[0] = True
+    for i in range(n - 1):
+        assert left[i] > i and right[i] > i
+        assert not seen[left[i]] and not seen[right[i]]
+        seen[left[i]] = True
+        seen[right[i]] = True
+    assert seen.all()
+    assert sorted(np.asarray(sah.leaf_prim).tolist()) == list(range(n))
+    # Parent bounds contain child bounds.
+    nm = np.asarray(sah.node_min)
+    nx = np.asarray(sah.node_max)
+    for i in range(n - 1):
+        for ch in (left[i], right[i]):
+            assert (nm[i] <= nm[ch] + 1e-6).all()
+            assert (nx[i] >= nx[ch] - 1e-6).all()
+
+    rng = np.random.default_rng(11)
+    R = 96
+    o = rng.uniform(-3, -2, (R, 3)).astype(np.float32)
+    d = rng.uniform(0.2, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t1, p1 = ray_query(sah, jnp.asarray(o), jnp.asarray(d))
+    t2, p2 = ray_query(lin, jnp.asarray(o), jnp.asarray(d))
+    t1, p1, t2, p2 = map(np.asarray, (t1, p1, t2, p2))
+    assert ((p1 >= 0) == (p2 >= 0)).all()
+    hit = p1 >= 0
+    assert np.allclose(t1[hit], t2[hit], atol=1e-4)
