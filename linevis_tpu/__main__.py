@@ -124,6 +124,21 @@ def cmd_replay(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from linevis_tpu.app import LineVisApp, serve
+
+    loader = _make_loader(args)
+    line_data = loader(args.dataset)
+    if args.dataset_set:
+        line_data.set_new_settings(_settings_map(args.dataset_set))
+    app = LineVisApp(
+        line_data, width=args.width, height=args.height,
+        mode=args.renderer, accumulate=args.accumulate,
+    )
+    serve(app, port=args.port)
+    return 0
+
+
 def cmd_perf(args) -> int:
     from linevis_tpu.automation.perf import (
         AutomaticPerformanceMeasurer,
@@ -203,6 +218,17 @@ def build_parser() -> argparse.ArgumentParser:
                     help="render only each state's final frame")
     add_common(rp)
     rp.set_defaults(fn=cmd_replay)
+
+    v = sub.add_parser(
+        "view", help="interactive live-orbit browser viewer (MainApp role)"
+    )
+    v.add_argument("dataset", help="datasets.json name or dataset file")
+    v.add_argument("--renderer", default="Opaque")
+    v.add_argument("--port", type=int, default=8123)
+    v.add_argument("--accumulate", type=int, default=1)
+    v.add_argument("--dataset-set", action="append", metavar="KEY=VALUE")
+    add_common(v)
+    v.set_defaults(fn=cmd_view)
 
     pf = sub.add_parser(
         "perf", help="automatic performance measurement (--perf mode)"

@@ -44,6 +44,17 @@ def load_png(filename: str) -> np.ndarray:
     return np.asarray(Image.open(filename))
 
 
+def encode_png(image_u8: np.ndarray) -> bytes:
+    """[H, W, 3|4] uint8 -> in-memory PNG bytes (the viewer's frame path)."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(image_u8).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     x = np.arange(size) - (size - 1) / 2.0
     g = np.exp(-(x**2) / (2 * sigma**2))
