@@ -1,27 +1,27 @@
-"""Benchmark driver: Tornado capsule-tube frame rate on one TPU chip.
+"""Benchmark driver: all five BASELINE configs on one TPU chip.
 
 Prints JSON lines: {"metric", "value", "unit", "vs_baseline", ...extra}.
 The PRIMARY metric line (tornado_tubes_1080p_device_fps) is printed and
-flushed AS SOON AS it is measured, before the MLAB/RTAO extras, so a
-driver timeout during the extras can never zero the record; each extra
-re-prints the full merged record as a fresh line (the LAST line is the
-most complete).  Baseline target (BASELINE.json): >= 30 FPS at 1080p on
-the Tornado config.
+flushed AS SOON as it is measured; each further config re-prints the full
+merged record as a fresh line (the LAST line is the most complete), so a
+driver timeout mid-run can never zero the record. Bars (BASELINE.json):
+>= 30 FPS at 1080p on the Tornado and Femur configs; RTAO reports Mrays/s.
 
-Measurement protocol (mirrors AutomaticPerformanceMeasurer.cpp:230-279:
-avg / 5th / 95th percentile, not best-frame):
+Configs (BASELINE.json `configs`, InternalState.cpp:460-570 sweep role):
+  1. Tornado opaque 800x600                 -> cfg1_opaque_800x600_fps
+  2. Tornado PPLL (bounded K=32) 1080p      -> cfg2_ppll_1080p_fps
+  3. Convection RTAO 4 spp 1080p            -> cfg3_rtao_1080p_fps (+Mrays/s)
+  4. Femur PSL MLAB + MBOIT 1080p           -> cfg4_femur_{mlab,mboit}_fps
+  5. Tornado opacity-opt + camera flight    -> cfg5_opacityopt_1080p_fps
+plus the headline tornado opaque/MLAB 1080p numbers, an AA-cost split
+(opaque_noaa), a roofline block, and end-to-end latency (sync + pipelined).
 
-- device_fps (primary): N frames with DISTINCT cameras are dispatched as
-  one chained device computation (each frame's checksum feeds an
-  accumulator, so nothing can be skipped or deduped), forced with a single
-  scalar readback.  Wall time minus the one readback divided by N is pure
-  device + dispatch throughput — the number a display pipeline would see,
-  since an interactive swapchain never round-trips frames through the
-  host.  The axon host tunnel costs ~30 ms per forced readback
-  (documented in .claude/skills/verify), which would otherwise dominate.
-- e2e_*: per-frame latency INCLUDING one forced readback through the
-  tunnel per frame (the fully conservative number).
-- an MLAB (transparent, K=8) 1080p number is reported alongside.
+Measurement protocol (mirrors AutomaticPerformanceMeasurer.cpp:230-279):
+frames with DISTINCT cameras are chained in one jitted fori_loop with a
+checksum accumulator (axon's lazy dispatcher dedupes identical work and
+block_until_ready does not force) and ONE scalar readback; frame time =
+(t_N - t_1) / (N - 1) over >= 3 reps. The chain length `n` is a TRACED
+argument so each config compiles once, not once per length.
 """
 
 import json
@@ -30,6 +30,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+record = {}
+
+
+def emit():
+    print(json.dumps(record), flush=True)
 
 
 def main():
@@ -48,11 +54,12 @@ def main():
         normalize_trajectories,
     )
     from linevis_tpu.render.camera import Camera
-    from linevis_tpu.render.oit import render_tubes_mlab
+    from linevis_tpu.render.oit import render_tubes_mlab, render_tubes_mboit
     from linevis_tpu.render.pipeline import RasterSettings
     from linevis_tpu.render.tube_raster import (
         _proj_constants,
         build_capsule_scene,
+        prepare_capsule_frame,
         render_tubes,
     )
     from linevis_tpu.trace.fields import tornado_velocity
@@ -62,8 +69,7 @@ def main():
     )
 
     W, H = 1920, 1080
-    N_CHAIN = 16
-    N_E2E = 10
+    NMAX = 16
 
     traj = trace_streamlines(
         tornado_velocity,
@@ -75,79 +81,114 @@ def main():
     )
     cam = Camera(position=(0.0, 0.1, 1.2), width=W, height=H)
     settings = RasterSettings(width=W, height=H, tile_w=32, tile_h=16)
+    settings_oit = RasterSettings(width=W, height=H, tile_w=16, tile_h=8)
     ab = jnp.asarray(_proj_constants(cam))
 
-    def cams(n, salt=0.0):
+    def cams(camera, salt=0.0, n=NMAX):
         vps, cps = [], []
         for i in range(n):
-            c = cam.orbit(0.002 * (i + 1) + salt, 0.1, 1.2)
+            c = camera.orbit(0.002 * (i + 1) + salt, 0.1, 1.2)
             vps.append(np.asarray(c.view_projection_matrix()))
             cps.append(np.asarray(c.position, np.float32))
         return jnp.asarray(np.stack(vps)), jnp.asarray(np.stack(cps))
 
-    # ---- chained device-throughput measurement ----------------------------
-    @partial(jax.jit, static_argnames=("n",))
-    def run_chain(vps, cps, n):
-        def body(i, acc):
-            img = render_tubes(scene, vps[i], cps[i], ab, settings)
-            return acc + jnp.sum(img[0, ::97, ::101])
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+    def make_chain(frame_fn):
+        """One jitted chain with a TRACED length n (single compile)."""
 
-    def time_chain(fn, n, reps=4):
-        """Median wall time of `fn(vps, cps, n)`; every call uses distinct
-        cameras so the lazy axon dispatcher cannot dedupe."""
-        float(fn(*cams(n, salt=0.77 + n), n))  # warmup/compile
-        ts = []
+        @jax.jit
+        def run(vps, cps, n):
+            def body(i, acc):
+                img = frame_fn(vps[i], cps[i])
+                return acc + jnp.sum(img[0, ::97, ::101])
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        return run
+
+    def time_chain(fn, camera=cam, n=8, reps=3):
+        """Median (t_n - t_1)/(n-1): pure device + dispatch throughput."""
+        float(fn(*cams(camera, salt=0.77), jnp.int32(n)))  # compile/warm
+        t1s, tns = [], []
         for rep in range(reps):
-            v, c = cams(n, salt=0.1 * rep + 0.013 * n)
+            v, c = cams(camera, salt=0.1 * rep + 0.029)
             t0 = time.time()
-            float(fn(v, c, n))
-            ts.append(time.time() - t0)
-        return float(np.median(ts))
+            float(fn(v, c, jnp.int32(1)))
+            t1s.append(time.time() - t0)
+            v, c = cams(camera, salt=0.1 * rep + 0.51)
+            t0 = time.time()
+            float(fn(v, c, jnp.int32(n)))
+            tns.append(time.time() - t0)
+        frame_s = (np.median(tns) - np.median(t1s)) / (n - 1)
+        return max(float(frame_s), 1e-6)
 
-    t_one = time_chain(run_chain, 1)
-    t_n = time_chain(run_chain, N_CHAIN)
-    # t_n = readback + N * frame; t_one = readback + 1 * frame
-    frame_s = max((t_n - t_one) / (N_CHAIN - 1), 1e-6)
-    device_fps = 1.0 / frame_s
-
-    # Emit the primary metric IMMEDIATELY (flushed): if the driver times the
-    # process out during the MLAB/RTAO extras below, the record still holds
-    # the headline number.  Every extra re-emits the merged record, so the
-    # last line printed is always the most complete one.
-    record = {
-        "metric": "tornado_tubes_1080p_device_fps",
-        "value": round(device_fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(device_fps / 30.0, 3),
-    }
-
-    def emit():
-        print(json.dumps(record), flush=True)
-
+    # ---- primary: tornado opaque 1080p (analytic-coverage AA on) ----------
+    chain_opaque = make_chain(
+        lambda vp, cp: render_tubes(scene, vp, cp, ab, settings)
+    )
+    fps = 1.0 / time_chain(chain_opaque, n=16)
+    record.update(
+        metric="tornado_tubes_1080p_device_fps",
+        value=round(fps, 2),
+        unit="frames/s",
+        vs_baseline=round(fps / 30.0, 3),
+    )
     emit()
 
-    # ---- MLAB (transparent) chained throughput -----------------------------
-    # OIT kernels win at 16x8 tiles (measured: 150 -> 90 ms at 1080p).
-    settings_oit = RasterSettings(width=W, height=H, tile_w=16, tile_h=8)
+    # AA-cost split: same frame with analytic-coverage AA off.
+    settings_noaa = RasterSettings(width=W, height=H, tile_w=32, tile_h=16,
+                                   aa=False)
+    chain_noaa = make_chain(
+        lambda vp, cp: render_tubes(scene, vp, cp, ab, settings_noaa)
+    )
+    fps_noaa = 1.0 / time_chain(chain_noaa, n=16)
+    record["opaque_noaa_1080p_device_fps"] = round(fps_noaa, 2)
+    record["aa_note"] = "primary metric includes analytic-coverage AA"
+    emit()
 
-    @partial(jax.jit, static_argnames=("n",))
-    def run_chain_mlab(vps, cps, n):
-        def body(i, acc):
-            img = render_tubes_mlab(
-                scene, vps[i], cps[i], ab, settings_oit, K=8, opacity=0.3
+    # ---- tornado MLAB 1080p (K=8) ------------------------------------------
+    chain_mlab = make_chain(
+        lambda vp, cp: render_tubes_mlab(
+            scene, vp, cp, ab, settings_oit, K=8, opacity=0.3
+        )
+    )
+    mlab_s = time_chain(chain_mlab, n=8)
+    record["mlab_1080p_device_fps"] = round(1.0 / mlab_s, 2)
+    emit()
+
+    # ---- cfg4: Femur PSL bands, MLAB + MBOIT 1080p (bar 30) ---------------
+    try:
+        from tests.baseline_scenes import _femur_line_data
+
+        ld4 = _femur_line_data()
+        scene4 = ld4.get_capsule_scene()
+        seg_alpha4 = jnp.asarray(ld4.get_segment_opacity_rows())
+        cam4 = Camera(position=(0.0, 0.1, 1.2), width=W, height=H)
+        ab4 = jnp.asarray(_proj_constants(cam4))
+        chain_femur_mlab = make_chain(
+            lambda vp, cp: render_tubes_mlab(
+                scene4, vp, cp, ab4, settings_oit, K=8, opacity=0.45,
+                seg_alpha=seg_alpha4,
             )
-            return acc + jnp.sum(img[0, ::97, ::101])
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+        )
+        f4 = 1.0 / time_chain(chain_femur_mlab, camera=cam4, n=8)
+        record["cfg4_femur_mlab_1080p_fps"] = round(f4, 2)
+        record["cfg4_femur_mlab_vs_bar30"] = round(f4 / 30.0, 3)
+        emit()
 
-    n_mlab = 8
-    t_one_m = time_chain(run_chain_mlab, 1)
-    t_n_m = time_chain(run_chain_mlab, n_mlab)
-    mlab_fps = (n_mlab - 1) / max(t_n_m - t_one_m, 1e-6)
-    record["mlab_1080p_device_fps"] = round(mlab_fps, 2)
-    emit()
+        chain_femur_mboit = make_chain(
+            lambda vp, cp: render_tubes_mboit(
+                scene4, vp, cp, ab4, settings_oit, n_mom=4, opacity=0.45,
+            )
+        )
+        f4b = 1.0 / time_chain(chain_femur_mboit, camera=cam4, n=8)
+        record["cfg4_femur_mboit_1080p_fps"] = round(f4b, 2)
+        record["cfg4_femur_mboit_vs_bar30"] = round(f4b / 30.0, 3)
+        emit()
+    except Exception as e:  # never lose earlier metrics to a late failure
+        record["cfg4_error"] = repr(e)[:200]
+        emit()
 
-    # ---- RTAO ray throughput (BASELINE.json: report Mrays/s) ---------------
+    # ---- RTAO: tornado 960x540 4 spp (headline Mrays/s) -------------------
     from linevis_tpu.kernels.ao_grid import build_segment_grid
     from linevis_tpu.render.rtao import RtaoSettings, render_tubes_rtao
 
@@ -156,50 +197,202 @@ def main():
         scene.a, scene.ba, scene.radius, scene.mask,
         resolution=rtao.grid_resolution,
     )
-    Wr, Hr = 960, 540  # half 1080p, 4 spp (reference RTAO defaults)
+    Wr, Hr = 960, 540
     cam_r = Camera(position=(0.0, 0.1, 1.2), width=Wr, height=Hr)
     ab_r = jnp.asarray(_proj_constants(cam_r))
     settings_r = RasterSettings(width=Wr, height=Hr, tile_w=32, tile_h=16)
-
-    @partial(jax.jit, static_argnames=("n",))
-    def run_chain_rtao(vps, cps, n):
-        def body(i, acc):
-            img = render_tubes_rtao(
-                scene, vps[i], cps[i], ab_r, settings_r, rtao,
-                grid=grid,
-            )
-            return acc + jnp.sum(img[0, ::97, ::101])
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    n_rtao = 8
-    t_one_r = time_chain(run_chain_rtao, 1)
-    t_n_r = time_chain(run_chain_rtao, n_rtao)
-    rtao_frame_s = max((t_n_r - t_one_r) / (n_rtao - 1), 1e-6)
-    rtao_mrays = (Wr * Hr * rtao.num_samples) / rtao_frame_s / 1e6
-    record["rtao_mrays_per_s"] = round(rtao_mrays, 2)
-    record["rtao_960x540_4spp_device_fps"] = round(1.0 / rtao_frame_s, 2)
+    chain_rtao = make_chain(
+        lambda vp, cp: render_tubes_rtao(
+            scene, vp, cp, ab_r, settings_r, rtao, grid=grid
+        )
+    )
+    rtao_s = time_chain(chain_rtao, camera=cam_r, n=8)
+    record["rtao_mrays_per_s"] = round(Wr * Hr * 4 / rtao_s / 1e6, 2)
+    record["rtao_960x540_4spp_device_fps"] = round(1.0 / rtao_s, 2)
     emit()
 
-    # ---- per-frame end-to-end latency (incl. tunnel readback) -------------
-    # Least important (dominated by the ~30 ms axon readback), so measured
-    # last: a timeout here costs nothing that matters.
-    full = partial(render_tubes, settings=settings)
+    # ---- cfg3: convection RTAO 4 spp 1080p (report Mrays/s) ---------------
+    try:
+        def convection(p, time=0.0):
+            x, y, z = p[..., 0], p[..., 1], p[..., 2]
+            k = 2.0 * np.pi
+            vx = jnp.sin(k * x) * jnp.cos(k * y)
+            vy = -jnp.cos(k * x) * jnp.sin(k * y)
+            vz = 0.3 * jnp.sin(k * x) * jnp.sin(k * z)
+            return jnp.stack([vx, vy, vz], axis=-1)
+
+        traj3 = trace_streamlines(
+            convection,
+            StreamlineTracingSettings(num_seeds=256, max_steps=300,
+                                      dt=1.0 / 120.0),
+        )
+        traj3 = normalize_attributes(normalize_trajectories(traj3))
+        scene3 = build_capsule_scene(
+            traj3.positions, traj3.mask, traj3.attributes[:, 0], radius=0.002
+        )
+        grid3 = build_segment_grid(
+            scene3.a, scene3.ba, scene3.radius, scene3.mask,
+            resolution=rtao.grid_resolution,
+        )
+        chain_rtao3 = make_chain(
+            lambda vp, cp: render_tubes_rtao(
+                scene3, vp, cp, ab, settings, rtao, grid=grid3
+            )
+        )
+        r3_s = time_chain(chain_rtao3, n=4, reps=2)
+        record["cfg3_rtao_1080p_fps"] = round(1.0 / r3_s, 2)
+        record["cfg3_rtao_mrays_per_s"] = round(W * H * 4 / r3_s / 1e6, 2)
+        emit()
+    except Exception as e:
+        record["cfg3_error"] = repr(e)[:200]
+        emit()
+
+    # ---- cfg1: tornado opaque 800x600 (bar 30) -----------------------------
+    W1, H1 = 800, 608  # 608: tile_h-aligned height (reference runs 800x600)
+    cam1 = Camera(position=(0.0, 0.1, 1.2), width=W1, height=H1)
+    ab1 = jnp.asarray(_proj_constants(cam1))
+    settings1 = RasterSettings(width=W1, height=H1, tile_w=32, tile_h=16)
+    chain_1 = make_chain(
+        lambda vp, cp: render_tubes(scene, vp, cp, ab1, settings1)
+    )
+    f1 = 1.0 / time_chain(chain_1, camera=cam1, n=16)
+    record["cfg1_opaque_800x600_fps"] = round(f1, 2)
+    record["cfg1_opaque_vs_bar30"] = round(f1 / 30.0, 3)
+    emit()
+
+    # ---- cfg2: tornado PPLL (bounded K=32 exact sort) 1080p (bar 30) -------
+    chain_ppll = make_chain(
+        lambda vp, cp: render_tubes_mlab(
+            scene, vp, cp, ab, settings_oit, K=32, opacity=0.3
+        )
+    )
+    f2 = 1.0 / time_chain(chain_ppll, n=4, reps=2)
+    record["cfg2_ppll_1080p_fps"] = round(f2, 2)
+    record["cfg2_ppll_vs_bar30"] = round(f2 / 30.0, 3)
+    emit()
+
+    # ---- cfg5: tornado opacity optimization + camera flight (bar 30) -------
+    try:
+        from linevis_tpu.render.opacity_optimization import (
+            OpacityOptimizationSettings,
+            _final_render,
+            _opacity_solve,
+        )
+
+        oo = OpacityOptimizationSettings()
+        L, P = traj.positions.shape[0], traj.positions.shape[1]
+
+        @jax.jit
+        def run_oo(vps, cps, n):
+            def body(i, state):
+                acc, vo = state
+                vo = _opacity_solve(
+                    scene, vps[i], cps[i], ab, vo, settings_oit, oo, L, P
+                )
+                img = _final_render(
+                    scene, vps[i], cps[i], ab, vo, settings_oit, oo.render_k
+                )
+                return (acc + jnp.sum(img[0, ::97, ::101]), vo)
+
+            init = (jnp.float32(0.0), jnp.ones((L, P), jnp.float32))
+            return jax.lax.fori_loop(0, n, body, init)[0]
+
+        f5_s = time_chain(run_oo, n=6, reps=2)
+        record["cfg5_opacityopt_1080p_fps"] = round(1.0 / f5_s, 2)
+        record["cfg5_opacityopt_vs_bar30"] = round(1.0 / f5_s / 30.0, 3)
+        emit()
+    except Exception as e:
+        record["cfg5_error"] = repr(e)[:200]
+        emit()
+
+    # ---- roofline: achieved rates vs v5e peaks ------------------------------
+    # Peaks: HBM ~819 GB/s (public v5e spec). VPU f32 FMA peak is estimated
+    # at ~5e12 flop/s (8x128 lanes x ~2 FMA issue x 2 flops x ~1.4 GHz) —
+    # the capsule kernels are f32 VPU code by design (MXU f32 contractions
+    # are reduced-precision; see kernels/raster_capsule.py dot_dn).
+    try:
+        csr, _, _ = prepare_capsule_frame(
+            scene, *map(jnp.asarray, (np.asarray(cam.view_projection_matrix()),
+                                      np.asarray(cam.position, np.float32))),
+            ab, settings,
+        )
+        pairs = int(jnp.sum(csr.tile_count))
+        Ppix = settings.tile_w * settings.tile_h
+        # ~135 f32 ops per (pair, pixel) incl. analytic-coverage AA.
+        fl_opaque = pairs * Ppix * 135.0
+        by_opaque = pairs * 16 * 4.0  # payload rows DMA'd per pair
+        t_opaque = 1.0 / fps
+        record["roofline"] = {
+            "hbm_peak_B_per_s": 819e9,
+            "vpu_f32_peak_flop_per_s_est": 5e12,
+            "opaque": {
+                "binned_pairs": pairs,
+                "est_flop_per_s": round(fl_opaque / t_opaque / 1e12, 3),
+                "est_flop_unit": "Tflop/s (est 135 flop/pair/pixel)",
+                "payload_B_per_s": round(by_opaque / t_opaque / 1e9, 3),
+                "payload_unit": "GB/s (kernel DMA; VMEM reuse excluded)",
+                "candidate_pairs_per_s": round(pairs / t_opaque / 1e9, 3),
+            },
+            "mlab": {
+                "frame_ms": round(mlab_s * 1e3, 2),
+                "est_flop_per_s": round(
+                    pairs * Ppix * 2 * 170.0 / mlab_s / 1e12, 3
+                ),
+                "est_flop_unit":
+                    "Tflop/s (est 170 flop/surface/pixel x 2 surfaces, "
+                    "pre-culling upper bound)",
+            },
+        }
+        emit()
+    except Exception as e:
+        record["roofline_error"] = repr(e)[:200]
+        emit()
+
+    # ---- end-to-end latency: sync + pipelined readback ---------------------
+    # A real swapchain ships 8-bit frames and overlaps frame N+1's compute
+    # with frame N's device-to-host copy (MainApp.cpp:999-1012 role).
+    N_E2E = 10
+
+    @jax.jit
+    def frame_u8(vp, cp):
+        img = render_tubes(scene, vp, cp, ab, settings)
+        return jnp.clip(img * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+    def cam_i(i, salt=0.0):
+        c = cam.orbit(0.002 * (i + 1) + salt, 0.1, 1.2)
+        return (jnp.asarray(np.asarray(c.view_projection_matrix())),
+                jnp.asarray(np.asarray(c.position, np.float32)))
+
+    np.asarray(frame_u8(*cam_i(0, 0.9)))  # compile/warm
+    # Sync: force each frame through the tunnel before the next starts.
     ts = []
-    for i in range(N_E2E + 1):
-        c = cam.orbit(0.002 * (i + 1) + 0.5, 0.1, 1.2)
-        vp = jnp.asarray(c.view_projection_matrix())
-        cp = jnp.asarray(np.asarray(c.position, np.float32))
+    for i in range(N_E2E):
+        vp, cp = cam_i(i, 0.21)
         t0 = time.time()
-        img = full(scene, vp, cp, ab)
-        float(jnp.sum(img[0, ::97, ::101]))
-        if i > 0:  # first call compiles
-            ts.append(time.time() - t0)
+        np.asarray(frame_u8(vp, cp))
+        ts.append(time.time() - t0)
     ts = np.asarray(ts)
-    record["e2e_1080p_avg_fps"] = round(1.0 / ts.mean(), 2)
-    record["e2e_1080p_p5_fps"] = round(1.0 / np.percentile(ts, 95), 2)
-    record["e2e_1080p_p95_fps"] = round(1.0 / np.percentile(ts, 5), 2)
+    record["e2e_sync_1080p_avg_fps"] = round(1.0 / ts.mean(), 2)
+    # Pipelined: dispatch frame i+1, then consume frame i's host copy.
+    for salt, key in ((0.37, "e2e_1080p_avg_fps"),):
+        frames = []
+        t0 = time.time()
+        for i in range(N_E2E):
+            img = frame_u8(*cam_i(i, salt))
+            try:
+                img.copy_to_host_async()
+            except Exception:
+                pass
+            frames.append(img)
+            if len(frames) > 1:
+                np.asarray(frames.pop(0))
+        np.asarray(frames.pop(0))
+        total = time.time() - t0
+        record[key] = round(N_E2E / total, 2)
     record["e2e_note"] = (
-        "e2e includes ~30 ms axon host-tunnel readback per frame"
+        "e2e = per-frame latency incl. device-to-host of an 8-bit frame "
+        "over the axon tunnel; pipelined overlaps frame i+1 compute with "
+        "frame i readback (double buffering), sync forces each frame"
     )
     emit()
 
