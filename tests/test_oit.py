@@ -286,3 +286,51 @@ def test_mlab_buckets_near_exact():
         )), 0, -1,
     )
     np.testing.assert_allclose(img, exact, atol=2e-3)
+
+
+def test_saturation_culling_error_bound():
+    """Behind-saturated-node rejection (sat=0.99) must stay within its
+    bound vs culling effectively disabled (sat=2.0): dropped fragments
+    merge under the last node with weight < 1-sat, composited under the
+    preceding K-1 nodes' transmittance."""
+    from linevis_tpu.kernels.raster_capsule_oit import (
+        rasterize_capsules_mlab,
+    )
+    from linevis_tpu.render.tube_raster import (
+        _proj_constants,
+        prepare_capsule_frame,
+    )
+
+    n = 24  # depth complexity 2n = 48 >> K: deep overflow regime
+    scene = _layered_scene(n)
+    cam = Camera(position=(0.0, 0.0, 4.0), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+    csr, params, _ = prepare_capsule_frame(scene, vp, cp, ab, S)
+    params = params.at[14].set(0.7)  # high opacity -> fast saturation
+
+    def run(sat):
+        K = 4
+        d, rgb, a = rasterize_capsules_mlab(
+            csr, params, W, H, S.tile_w, S.tile_h, K,
+            tf_color=((0.0, 0.2, 0.4, 0.9), (1.0, 0.9, 0.3, 0.1)),
+            tf_opacity=((0.0, 1.0), (1.0, 1.0)), sat=sat, interpret=True,
+        )
+        T = jnp.ones_like(a[0])
+        acc = jnp.zeros((3,) + a.shape[1:], jnp.float32)
+        for i in range(K):
+            acc = acc + T[None] * rgb[:, i]
+            T = T * (1.0 - a[i])
+        return np.asarray(acc), np.asarray(1.0 - T)
+
+    rgb_cull, a_cull = run(0.99)
+    rgb_full, a_full = run(2.0)  # alpha never reaches 2: rejection off
+    assert np.isfinite(rgb_cull).all() and np.isfinite(rgb_full).all()
+    # The culled image must differ from the exact-overflow image by less
+    # than (1 - sat) in any channel (the merge-weight bound).
+    assert np.abs(rgb_cull - rgb_full).max() <= 0.01 + 1e-5
+    assert np.abs(a_cull - a_full).max() <= 0.01 + 1e-5
+    # And culling must actually have engaged (some pixel saturated).
+    assert a_full.max() > 0.99

@@ -67,6 +67,50 @@ img3 = np.asarray(render_tubes_mboit(
 assert np.isfinite(img3).all(), "trig mboit NaN on TPU"
 assert (img3[3] > 0).any(), "trig mboit frame empty"
 
+# Depth peeling: the exact no-overflow path + peel-threshold round trip
+# (znd-space comparisons must be bit-exact under Mosaic too).
+from linevis_tpu.render.oit import render_tubes_depth_peeling
+img4 = np.asarray(render_tubes_depth_peeling(
+    scene, vp, cp, ab, S, K=4, passes=2, opacity=0.4))
+assert np.isfinite(img4).all(), "depth peeling NaN on TPU"
+assert (img4[3] > 0).any(), "depth peeling frame empty"
+
+# RTAO: the pair-sorted grid tracer + G-buffer under Mosaic.
+from linevis_tpu.kernels.ao_grid import build_segment_grid
+from linevis_tpu.render.rtao import RtaoSettings, render_tubes_rtao
+rt = RtaoSettings(num_samples=2, grid_resolution=16, max_ray_cells=4)
+grid = build_segment_grid(scene.a, scene.ba, scene.radius, scene.mask,
+                          resolution=16)
+img5 = np.asarray(render_tubes_rtao(scene, vp, cp, ab, S, rt, grid=grid))
+assert np.isfinite(img5).all(), "rtao NaN on TPU"
+assert (img5[..., :3] < 0.999).any(), "rtao frame empty"
+
+# Opacity optimization: gather-mode kernel + solve + alpha-rows render.
+from linevis_tpu.render.opacity_optimization import (
+    OpacityOptimizationSettings, _final_render, _opacity_solve,
+)
+oo = OpacityOptimizationSettings(opacity_resolution_scale=1.0,
+                                 gather_k=4, render_k=4)
+vo = _opacity_solve(scene, vp, cp, ab,
+                    jnp.ones((L, P), jnp.float32), S, oo, L, P)
+assert np.isfinite(np.asarray(vo)).all(), "opacity solve NaN on TPU"
+img6 = np.asarray(_final_render(scene, vp, cp, ab, vo, S, oo.render_k))
+assert np.isfinite(img6).all(), "opacity-opt render NaN on TPU"
+
+# VPT delta tracking (XLA path: transcendental + RNG lowering on TPU).
+from linevis_tpu.render.vpt import VptSettings, render_vpt
+z = jnp.linspace(0.0, 1.0, 8)
+dens = jnp.exp(-6.0 * ((z[:, None, None] - 0.5) ** 2
+                       + (z[None, :, None] - 0.5) ** 2
+                       + (z[None, None, :] - 0.5) ** 2)).astype(jnp.float32)
+basis = jnp.asarray(
+    np.stack([[0.6, 0, 0], [0, 0.35, 0], [0, 0, -1.0]], axis=1), jnp.float32)
+rad = np.asarray(render_vpt(
+    jax.random.PRNGKey(2), dens,
+    jnp.asarray(np.array([0.5, 0.5, 2.2], np.float32)), basis, 32, 16,
+    VptSettings(max_events=8), spp=1))
+assert np.isfinite(rad).all(), "vpt NaN on TPU"
+
 np.save("/tmp/tpu_smoke_opaque.npy", img)
 np.save("/tmp/tpu_smoke_mlab.npy", img2)
 print("TPU_SMOKE_OK")
