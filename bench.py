@@ -234,14 +234,18 @@ def main():
             scene3.a, scene3.ba, scene3.radius, scene3.mask,
             resolution=rtao.grid_resolution,
         )
+        # 960x540 like the headline RTAO: at full 1080p the ray-cell pair
+        # expansion (8.3M rays x 8 cells x 9 sort operands) exceeds the
+        # remote compiler's memory budget (HTTP 500). Mrays/s is
+        # resolution-independent; the fps is reported at the measured size.
         chain_rtao3 = make_chain(
             lambda vp, cp: render_tubes_rtao(
-                scene3, vp, cp, ab, settings, rtao, grid=grid3
+                scene3, vp, cp, ab_r, settings_r, rtao, grid=grid3
             )
         )
-        r3_s = time_chain(chain_rtao3, n=4, reps=2)
-        record["cfg3_rtao_1080p_fps"] = round(1.0 / r3_s, 2)
-        record["cfg3_rtao_mrays_per_s"] = round(W * H * 4 / r3_s / 1e6, 2)
+        r3_s = time_chain(chain_rtao3, camera=cam_r, n=4, reps=2)
+        record["cfg3_rtao_960x540_fps"] = round(1.0 / r3_s, 2)
+        record["cfg3_rtao_mrays_per_s"] = round(Wr * Hr * 4 / r3_s / 1e6, 2)
         emit()
     except Exception as e:
         record["cfg3_error"] = repr(e)[:200]
@@ -390,9 +394,12 @@ def main():
         total = time.time() - t0
         record[key] = round(N_E2E / total, 2)
     record["e2e_note"] = (
-        "e2e = per-frame latency incl. device-to-host of an 8-bit frame "
-        "over the axon tunnel; pipelined overlaps frame i+1 compute with "
-        "frame i readback (double buffering), sync forces each frame"
+        "e2e ships the REAL 8-bit frame (8.3 MB) through the axon dev "
+        "tunnel (~40 MB/s => ~210 ms/frame floor; r3's e2e fetched only "
+        "a scalar checksum); pipelined overlaps frame i+1 compute with "
+        "frame i readback. A production host link (PCIe, ~10+ GB/s) "
+        "makes this transfer sub-millisecond — device_fps is the "
+        "hardware-meaningful number."
     )
     emit()
 
