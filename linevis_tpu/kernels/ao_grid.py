@@ -217,19 +217,26 @@ def _ao_kernel(
               ox=ox, oy=oy, oz=oz, dxr=dxr, dyr=dyr, dzr=dzr, tmax=tmax):
 
             def cond(state):
-                # Early out once every ray in the chunk is occluded —
-                # binary occlusion can only grow, so remaining segment
-                # chunks cannot change the result (the AO analogue of the
-                # raster's saturation exit).
-                c, occ = state
-                return (c < n_seg_chunks) & (jnp.min(occ) < 1.0)
+                c, _occ = state
+                return c < n_seg_chunks
 
             def body(state):
                 c, occ = state
                 slot = slot_of(c)
                 get_dma(slot, c).wait()
 
-                @pl.when(c + 1 < n_seg_chunks)
+                # Early out once every ray in the chunk is occluded —
+                # binary occlusion can only grow, so remaining segment
+                # chunks cannot change the result (the AO analogue of the
+                # raster's saturation exit). The check runs HERE, after
+                # waiting chunk c's DMA and BEFORE starting chunk c+1's:
+                # exiting from `cond` with an un-waited in-flight DMA
+                # would leave a stale semaphore signal that the NEXT
+                # pair-chunk's wait on the same slot consumes while its
+                # own copy is still in flight (data race on hardware).
+                sat = jnp.min(occ) >= 1.0
+
+                @pl.when((c + 1 < n_seg_chunks) & jnp.logical_not(sat))
                 def _():
                     get_dma(slot_of(c + 1), c + 1).start()
 
@@ -281,7 +288,11 @@ def _ao_kernel(
                     twv(tb, okb), jnp.maximum(twv(ta, oka), twv(tbb, okb2))
                 )
                 occ = jnp.maximum(occ, jnp.max(hit, axis=0, keepdims=True))
-                return (c + 1, occ)
+                # Saturated at entry: chunk c's (already-waited) compute is
+                # a no-op (occ is all ones) and no further DMA was started,
+                # so jumping to n_seg_chunks leaves no in-flight copies.
+                c_next = jnp.where(sat, n_seg_chunks, c + 1)
+                return (c_next, occ)
 
             _, occ = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), jnp.zeros((1, C), jnp.float32))

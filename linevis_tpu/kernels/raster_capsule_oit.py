@@ -116,6 +116,7 @@ def _mlab_kernel(
     deferred_shade: bool,  # store (attr, cosc, spec) features, shade in XLA
     sub: int,  # compute sub-chunk width (DMA stays at `chunk`)
     sat: float,  # last-node alpha above which behind-dK fragments drop
+    composite: bool,  # shade + front-to-back blend the K nodes IN-KERNEL
 ):
     # mboit_resolve receives the per-pixel moment images (pass-1 output) as
     # extra *inputs* ahead of the outputs: b0, n/2 odd, n/2 even moments.
@@ -127,7 +128,7 @@ def _mlab_kernel(
     if use_peel:
         peel_in = refs[0]
         refs = refs[1:]
-    n_out = 5 * K
+    n_out = 4 if composite else 5 * K
     out = refs[:n_out]
     coef_scr, sem = refs[n_out], refs[n_out + 1]
     # K-node buffer scratch, [K, P] per channel: the insertion sort runs
@@ -141,11 +142,12 @@ def _mlab_kernel(
     # fewer than K hits, and a skipped sweep saves ~7 full [2C, P]
     # reduction passes (min + tie window + 5 masked channel sums).
     tw_scr = refs[n_out + 7]
-    d_refs = out[0:K]
-    r_refs = out[K : 2 * K]
-    g_refs = out[2 * K : 3 * K]
-    b_refs = out[3 * K : 4 * K]
-    a_refs = out[4 * K : 5 * K]
+    if not composite:
+        d_refs = out[0:K]
+        r_refs = out[K : 2 * K]
+        g_refs = out[2 * K : 3 * K]
+        b_refs = out[3 * K : 4 * K]
+        a_refs = out[4 * K : 5 * K]
 
     gi = pl.program_id(0)
     C = chunk
@@ -155,11 +157,19 @@ def _mlab_kernel(
     ly = (lin // tile_w).astype(jnp.float32)
     lx = (lin % tile_w).astype(jnp.float32)
 
-    d_init = 0.0 if store_mode in _ACCUM_MODES else 2.0
-    for dref in d_refs:
-        dref[:] = jnp.full(dref.shape, d_init, jnp.float32)
-    for cref in (*r_refs, *g_refs, *b_refs, *a_refs):
-        cref[:] = jnp.zeros(cref.shape, jnp.float32)
+    if composite:
+        # Empty tiles show pure background (T = 1, no fragments).
+        for ch in range(3):
+            out[ch][:] = jnp.full(
+                out[ch].shape, 1.0, jnp.float32
+            ) * params_ref[24 + ch]
+        out[3][:] = jnp.zeros(out[3].shape, jnp.float32)
+    else:
+        d_init = 0.0 if store_mode in _ACCUM_MODES else 2.0
+        for dref in d_refs:
+            dref[:] = jnp.full(dref.shape, d_init, jnp.float32)
+        for cref in (*r_refs, *g_refs, *b_refs, *a_refs):
+            cref[:] = jnp.zeros(cref.shape, jnp.float32)
 
     zA = params_ref[9]
     zB = params_ref[10]
@@ -293,6 +303,21 @@ def _mlab_kernel(
                 # sweeps for.  `scal` yields the [sub, 1] payload-row
                 # slice; `in_run` is the block's [sub, 1] run mask.
                 def process(scal, in_run):
+                    # Derived per-candidate scalar rows (16-22, appended
+                    # post-sort by tube_raster.prepare_capsule_frame):
+                    # ba.oa, oa.oa, 1/baba, rr*baba, rsqrt(baba), 1/r, rr.
+                    # They replace per-block [sub, 1] dot products AND let
+                    # the shading below run on scalar identities instead
+                    # of reconstructing per-pixel normals (see
+                    # shade_candidates).
+                    baoa0 = scal(16)
+                    oaoa0 = scal(17)
+                    inv_baba = scal(18)
+                    rrbaba = scal(19)
+                    tnorm_s = scal(20)
+                    inv_r_s = scal(21)
+                    rr = scal(22)
+                    baba = scal(10)
 
                     def dot_dn(r):
                         return (
@@ -303,19 +328,16 @@ def _mlab_kernel(
 
                     bard = dot_dn(3)
                     rdoa = dot_dn(0)
-                    baba = scal(10)
-                    rr = scal(6) * scal(6)
                     t0 = -(rdoa + 0.5 * bard)
-                    oax = scal(0) + t0 * dn[0:1, :]
-                    oay = scal(1) + t0 * dn[1:2, :]
-                    oaz = scal(2) + t0 * dn[2:3, :]
-                    baoa = scal(3) * oax + scal(4) * oay + scal(5) * oaz
-                    oaoa = oax * oax + oay * oay + oaz * oaz
-                    rd = rdoa + t0
+                    # Re-origin at closest approach to the segment
+                    # midpoint: rd = (oa + t0*d).d = -bard/2 exactly.
+                    rd = -0.5 * bard
+                    baoa = baoa0 + t0 * bard
+                    oaoa = oaoa0 + t0 * (rdoa + rd)
 
                     k2 = jnp.maximum(baba - bard * bard, 1e-20)
                     k1 = baba * rd - baoa * bard
-                    k0 = baba * oaoa - baoa * baoa - rr * baba
+                    k0 = baba * oaoa - baoa * baoa - rrbaba
                     h = k1 * k1 - k2 * k0
                     sq = jnp.sqrt(jnp.maximum(h, 0.0))
                     ha = rd * rd - (oaoa - rr)
@@ -419,37 +441,29 @@ def _mlab_kernel(
                             )
 
                     def shade_candidates():
-                        # Shade ALL candidates once (headlight Blinn-Phong).
-                        baoa2, baba2, bard2 = two(baoa), two(baba), two(bard)
-                        y2 = baoa2 + tcand * bard2
-                        uax = jnp.clip(y2 / baba2, 0.0, 1.0)
+                        # Shade ALL candidates once (headlight Blinn-Phong)
+                        # via scalar identities: with unit ray d, the tube
+                        # normal n = (p - axis(uax))/r satisfies
+                        #   n.d = (rd + t - uax*bard)/r
+                        #   n.t̂ = (y2 - uax*baba)*tnorm/r,  y2 = baoa+t*bard
+                        # so cos1/cos2 need NO per-pixel normal or position
+                        # reconstruction (saves ~60 [2*sub, P] vector ops vs
+                        # computing nx/ny/nz explicitly).
+                        bard2, rd2 = two(bard), two(rd)
+                        y2 = two(baoa) + tcand * bard2
+                        uax = jnp.clip(y2 * two(inv_baba), 0.0, 1.0)
                         attr = (
                             two(scal(7))
                             + two(scal(8)) * uax
                         )
-                        inv_r = pl.reciprocal(
-                            jnp.maximum(two(scal(6)), 1e-12),
-                            approx=True,
-                        )
-                        dn0, dn1, dn2 = dn[0:1, :], dn[1:2, :], dn[2:3, :]
-                        nx = (tcand * dn0 + two(oax) - two(scal(3)) * uax) * inv_r
-                        ny = (tcand * dn1 + two(oay) - two(scal(4)) * uax) * inv_r
-                        nz = (tcand * dn2 + two(oaz) - two(scal(5)) * uax) * inv_r
-                        ndl = -(nx * dn0 + ny * dn1 + nz * dn2)
-                        tnorm = jax.lax.rsqrt(jnp.maximum(baba2, 1e-20))
-                        tdl = -(
-                            two(scal(3)) * dn0
-                            + two(scal(4)) * dn1
-                            + two(scal(5)) * dn2
-                        ) * tnorm
+                        inv_r2 = two(inv_r_s)
+                        ndl = -(rd2 + tcand - uax * bard2) * inv_r2
+                        tn2 = two(tnorm_s)
+                        tdl = -bard2 * tn2
                         # n.t is nonzero on the sphere caps; full projection of
                         # the light onto the plane orthogonal to the tangent:
                         # cos2 = |n.l - (l.t)(n.t)| / sqrt(1 - (l.t)^2).
-                        ndt = (
-                            nx * two(scal(3))
-                            + ny * two(scal(4))
-                            + nz * two(scal(5))
-                        ) * tnorm
+                        ndt = (y2 - uax * two(baba)) * tn2 * inv_r2
                         denom = jax.lax.rsqrt(
                             jnp.maximum(1.0 - tdl * tdl, 1e-6)
                         )
@@ -915,7 +929,54 @@ def _mlab_kernel(
             jax.lax.while_loop(
                 cond, body, (jnp.int32(0), jnp.float32(2.0))
             )
-            if store_mode not in _ACCUM_MODES:
+            if composite:
+                # Shade + front-to-back blend the K nodes here instead of
+                # writing 5*K node planes for an XLA resolve: at K=8 this
+                # replaces 40 [T, P] output planes (330 MB at 1080p) with
+                # 4, and the whole shade runs on [K, P] node buffers
+                # already in VMEM (K=8, P=128 is a single vreg). Math
+                # mirrors oit.shade_deferred_nodes + the FTB loop of
+                # render_tubes_mlab exactly.
+                dS = node_scr[0][:]
+                fa = node_scr[1][:]
+                f1 = node_scr[2][:]
+                f2 = node_scr[3][:]
+                aN = node_scr[4][:]
+                inv_a = jnp.where(
+                    aN > 1e-6, 1.0 / jnp.maximum(aN, 1e-6), 0.0
+                )
+                attr_n = fa * inv_a
+                cos1n = jnp.maximum(f1 * inv_a, 1e-20)
+                cos2n = jnp.maximum(f2 * inv_a, 1e-20)
+                e_n = 1.0 if use_bands else 1.7
+                cosc_n = 0.3 * cos1n**e_n + 0.7 * cos2n**e_n
+                spec_n = 0.3 * cos1n**30.0
+                rgb_n, _ = _tf_eval_static(tf_color, tf_opacity, attr_n)
+                shade_n = 0.1 + 0.9 * cosc_n
+                vz_n = zB / jnp.maximum(zA - dS, 1e-9)
+                fcue_n = jnp.clip(
+                    (vz_n - dmin) / jnp.maximum(dmax - dmin, 1e-6),
+                    0.0, 1.0,
+                )
+                fcue_n = fcue_n * fcue_n * cue
+                cols = [
+                    ((c * shade_n + spec_n) * (1.0 - fcue_n)
+                     + 0.5 * fcue_n) * aN
+                    for c in rgb_n
+                ]
+                T = jnp.ones((1, P), jnp.float32)
+                accs = [jnp.zeros((1, P), jnp.float32) for _ in range(3)]
+                for j in range(K):
+                    aj = aN[j : j + 1, :]
+                    for ch in range(3):
+                        accs[ch] = accs[ch] + T * cols[ch][j : j + 1, :]
+                    T = T * (1.0 - aj)
+                for ch in range(3):
+                    out[ch][k : k + 1, :] = (
+                        accs[ch] + T * params_ref[24 + ch]
+                    )
+                out[3][k : k + 1, :] = 1.0 - T
+            elif store_mode not in _ACCUM_MODES:
                 # Final node state -> per-node output planes.
                 for group, ref in zip(
                     (d_refs, r_refs, g_refs, b_refs, a_refs), node_scr
@@ -929,7 +990,8 @@ def _mlab_kernel(
     static_argnames=(
         "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
         "use_bands", "store_mode", "alpha_from_rows", "n_mom", "trig",
-        "no_overflow", "deferred_shade", "sub", "sat", "interpret",
+        "no_overflow", "deferred_shade", "sub", "sat", "composite",
+        "interpret",
     ),
 )
 def rasterize_capsules_mlab(
@@ -952,13 +1014,25 @@ def rasterize_capsules_mlab(
     no_overflow: bool = False,  # drop evicted fragments (exact peeling pass)
     deferred_shade: bool = False,  # nodes carry (attr, cosc, spec) features
     sub: int = 32,  # compute sub-chunk width (DMA stays at `chunk`)
-    sat: float = 0.99,  # saturation threshold for behind-dK rejection
+    # Saturation threshold for behind-dK rejection: a dropped fragment's
+    # merge weight is < 1 - sat, but the ACCUMULATED error over many
+    # drops is only bounded per-composite step, so the default stays at
+    # the conservative 0.999 (the pre-r4 tile-wide gate); callers that
+    # profile the quality impact may loosen it.
+    sat: float = 0.999,
+    composite: bool = False,  # shade + blend the K nodes in-kernel
     interpret: bool = False,
 ):
     """MLAB-K transparency pass.
 
     Returns (depths [K, n_tiles, P], premultiplied rgb [3, K, n_tiles, P],
     alpha [K, n_tiles, P]). Empty nodes have depth 2.0 and alpha 0.
+
+    With `composite=True` (requires store_mode='shade', deferred_shade,
+    no peel) the kernel instead shades its K nodes and blends them
+    front-to-back over the background color in params[24:28], returning
+    one [4, n_tiles, P] RGBA image — the XLA resolve and its 5*K node
+    planes of HBM traffic disappear entirely.
 
     store_mode 'mboit_gen' (requires K=2) accumulates MBOIT power moments:
     channel layout b0 -> depths[0]; odd moments m1,m3(,m5,m7) -> rgb[0,0],
@@ -974,11 +1048,17 @@ def rasterize_capsules_mlab(
     n_pad = -(-n_tiles // TILE_GROUP) * TILE_GROUP
     counts = jnp.pad(csr.tile_count, (0, n_pad - n_tiles))
     starts = jnp.pad(csr.tile_start, (0, n_pad - n_tiles))
-    n_out = 5 * K
+    n_out = 4 if composite else 5 * K
     if store_mode == "mboit_gen" and K != 2:
         raise ValueError("mboit_gen requires K=2 (moment channel layout)")
     if deferred_shade and store_mode != "shade":
         raise ValueError("deferred_shade only applies to store_mode='shade'")
+    if composite and not (
+        deferred_shade and store_mode == "shade" and peel is None
+    ):
+        raise ValueError(
+            "composite requires store_mode='shade' + deferred_shade, no peel"
+        )
     # Sub-chunk width: a divisor of C, sublane-aligned (multiple of 8).
     # A sub wider than the chunk clamps to it (small test scenes use tiny
     # chunks); anything else is a caller error, not a silent fallback.
@@ -1010,6 +1090,7 @@ def rasterize_capsules_mlab(
         deferred_shade=deferred_shade,
         sub=sub,
         sat=sat,
+        composite=composite,
     )
     extra_in = []
     extra_in_specs = []
@@ -1061,6 +1142,8 @@ def rasterize_capsules_mlab(
         interpret=interpret,
     )(counts, starts, params, csr.payload, *extra_in)
     outs = [o[:n_tiles] for o in outs]
+    if composite:
+        return jnp.stack(outs, axis=0)  # [4, n_tiles, P] RGBA
     depths = jnp.stack(outs[0:K], axis=0)
     rgb = jnp.stack(
         [jnp.stack(outs[K : 2 * K], 0), jnp.stack(outs[2 * K : 3 * K], 0),

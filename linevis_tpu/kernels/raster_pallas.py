@@ -184,9 +184,14 @@ def build_sorted_binning(
         payload_rows[:, None, :], (R, span, T)
     ).reshape(R, Np)
     ops = (key,) + tuple(rows[i] for i in range(R))
-    # Unstable sort: XLA's network is deterministic either way, and
-    # within-bucket order only permutes equal-key candidates, which the
-    # kernels' depth-tie windows already average/dedup order-independently.
+    # Unstable sort: XLA's network is deterministic per XLA version either
+    # way. Bucket keys are QUANTIZED depth (1/1024 buckets), so fragments
+    # with different true depths can share a key; exact ties (coincident
+    # caps) are handled order-independently by the kernels' depth-tie
+    # windows, but the MLAB overflow merge of beyond-K fragments IS
+    # order-dependent within a bucket — images can shift by at most the
+    # merged fragments' contribution within one z-bucket, and golden
+    # regeneration churn across XLA releases is expected at that bound.
     sorted_ops = jax.lax.sort(ops, dimension=-1, is_stable=False, num_keys=1)
     sorted_keys = sorted_ops[0]
     payload = jnp.stack(sorted_ops[1:], axis=0)  # [R, Np]

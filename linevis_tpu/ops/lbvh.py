@@ -319,8 +319,19 @@ def build_bvh_sah(aabb_min, aabb_max, num_bins: int = 16) -> Lbvh:
     amin = np.asarray(aabb_min, np.float32)
     amax = np.asarray(aabb_max, np.float32)
     n = amin.shape[0]
-    if n < 2:
-        raise ValueError("need >= 2 primitives")
+    if n == 0:
+        raise ValueError("need >= 1 primitive")
+    if n == 1:
+        # Degenerate single-leaf tree (node 0 IS the leaf: `ray_query`
+        # treats node >= n-1 = 0 as a leaf), matching what the linear
+        # builder produces for one-primitive scenes.
+        return Lbvh(
+            left=jnp.zeros((0,), jnp.int32),
+            right=jnp.zeros((0,), jnp.int32),
+            node_min=jnp.asarray(amin),
+            node_max=jnp.asarray(amax),
+            leaf_prim=jnp.zeros((1,), jnp.int32),
+        )
     cent = 0.5 * (amin + amax)
 
     left = np.zeros((n - 1,), np.int32)

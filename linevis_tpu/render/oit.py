@@ -73,7 +73,7 @@ def shade_deferred_nodes(depths, feat, alpha, proj_ab, dmin, dmax, cue,
     return col * alpha[None]
 
 
-@partial(jax.jit, static_argnames=("settings", "K", "opacity", "sub"))
+@partial(jax.jit, static_argnames=("settings", "K", "opacity", "sub", "sat"))
 def render_tubes_mlab(
     scene: CapsuleScene,
     view_proj: jnp.ndarray,
@@ -84,6 +84,7 @@ def render_tubes_mlab(
     opacity: float = 0.3,
     seg_alpha: jnp.ndarray = None,  # [2, S]: per-segment (alpha0, dalpha)
     sub: int = 32,  # kernel compute sub-chunk width
+    sat: float = 0.999,  # saturation-culling threshold (see kernel doc)
 ) -> jnp.ndarray:
     """Transparent tube render -> [4, H, W] linear RGBA.
 
@@ -108,31 +109,24 @@ def render_tubes_mlab(
     params = params.at[13].set(settings.depth_cue_strength)
     params = params.at[14].set(opacity)
 
+    # Background for the kernel's in-kernel shade + composite.
+    bg = settings.background_color
+    params = (
+        params.at[24].set(float(bg[0])).at[25].set(float(bg[1]))
+        .at[26].set(float(bg[2])).at[27].set(float(bg[3]))
+    )
     interpret = jax.default_backend() == "cpu"
-    depths, feat, alpha = rasterize_capsules_mlab(
+    rgba = rasterize_capsules_mlab(
         csr, params, settings.width, settings.height,
         settings.tile_w, settings.tile_h, K,
         settings.tf_color, settings.tf_opacity,
         alpha_from_rows=seg_alpha is not None,
         deferred_shade=True,
         sub=sub,
+        sat=sat,
+        composite=True,
         interpret=interpret,
     )
-    rgb = shade_deferred_nodes(
-        depths, feat, alpha, proj_ab, dmin, dmax,
-        jnp.float32(settings.depth_cue_strength), settings,
-    )
-
-    # Front-to-back composite of the K nodes (premultiplied colors).
-    T = jnp.ones_like(alpha[0])
-    acc = jnp.zeros((3,) + alpha.shape[1:], jnp.float32)
-    for i in range(depths.shape[0]):
-        acc = acc + T[None] * rgb[:, i]
-        T = T * (1.0 - alpha[i])
-
-    bg = jnp.asarray(settings.background_color, jnp.float32)
-    out = acc + T[None] * bg[:3, None, None]
-    a_out = 1.0 - T
 
     def unp(x):
         return unpack_tiles(
@@ -140,9 +134,7 @@ def render_tubes_mlab(
             settings.width, settings.height,
         )
 
-    img = jnp.stack(
-        [unp(out[0]), unp(out[1]), unp(out[2]), unp(a_out)], axis=0
-    )
+    img = jnp.stack([unp(rgba[c]) for c in range(4)], axis=0)
     return img
 
 

@@ -220,6 +220,34 @@ def prepare_capsule_frame(
         seg2d=(sxa, sya, sxb, syb, sr),
     )
 
+    # Derived per-candidate scalar rows 16-23, appended AFTER the sort so
+    # the sort width stays at 16 operands (sort cost scales with operand
+    # count; these are pure functions of the sorted geometry rows, a few
+    # elementwise ops over the pair array). The kernels read them instead
+    # of re-deriving per block: per-candidate scalars live on SUBLANES
+    # ([sub, 1] shapes), where even 5-op dot products cost real vregs.
+    # Padding columns get finite garbage (inv of eps); kernels mask all
+    # candidate work with in_run, which is False there.
+    p = csr.payload
+    poa = p[0:3]
+    pba = p[3:6]
+    pr = p[6]
+    pbaba = p[10]
+    baoa0 = pba[0] * poa[0] + pba[1] * poa[1] + pba[2] * poa[2]
+    oaoa0 = poa[0] * poa[0] + poa[1] * poa[1] + poa[2] * poa[2]
+    inv_baba = 1.0 / jnp.maximum(pbaba, 1e-20)
+    prr = pr * pr
+    tnorm = jax.lax.rsqrt(jnp.maximum(pbaba, 1e-20))
+    inv_r = 1.0 / jnp.maximum(pr, 1e-12)
+    derived = jnp.stack(
+        [baoa0, oaoa0, inv_baba, prr * pbaba, tnorm, inv_r, prr,
+         jnp.zeros_like(pr)],
+        axis=0,
+    )
+    csr = dataclasses.replace(
+        csr, payload=jnp.concatenate([p, derived], axis=0)
+    )
+
     basis = _ray_basis(view_proj)  # columns right, up, fwd
     if y_offset is not None:
         # Band window: the kernel computes v_band = 1 - y_local*(2/band_h);
@@ -242,10 +270,11 @@ def prepare_capsule_frame(
     # (15-18 are MBOIT, MomentOIT.glsl uniforms), 19 px scale: world units
     # per pixel at view depth 1 (the opaque kernel's coverage AA),
     # 20-22 MBOIT wrapping-zone y/z/w (trigonometric moments,
-    # MBOITUtils.cpp:40-54), 23 spare.
+    # MBOITUtils.cpp:40-54), 23 spare, 24-27 background RGBA (in-kernel
+    # composite mode of the OIT kernel), 28-31 spare.
     px_scale = (2.0 / settings.height) * jnp.linalg.norm(basis[:, 1])
     params = jnp.concatenate(
-        [basis.reshape(-1), proj_ab, jnp.zeros((13,), jnp.float32)]
+        [basis.reshape(-1), proj_ab, jnp.zeros((21,), jnp.float32)]
     )
     params = params.at[19].set(px_scale)
     return csr, params, basis

@@ -73,7 +73,7 @@ def test_capsule_raster_matches_bruteforce():
     cp = jnp.asarray(np.asarray(cam.position, np.float32))
     ab = jnp.asarray(_proj_constants(cam))
     csr, params, basis = prepare_capsule_frame(scene, vp, cp, ab, S)
-    assert csr.payload.shape[0] == 16
+    assert csr.payload.shape[0] == 24  # 16 geometry + 8 derived scalars
     # use_aa=False: this is the geometric-exactness oracle; the coverage
     # AA intentionally accepts sub-half-pixel near-misses
     # (test_coverage_aa below).
