@@ -33,8 +33,11 @@ candidate shading and each of the K extraction sweeps individually.
 Fragments are SHADED at generation (Blinn-Phong tube shading with the
 camera headlight: light == view == -ray, so no world positions are
 needed); the transfer function is unrolled from static control points.
-Each capsule contributes its entry AND exit surface (the reference
-rasterizes both tube faces — no backface culling in the gather pass).
+Each capsule contributes its ENTRY surface only by default: the
+reference rasterizes transparent tubes with backface culling
+(`LineRasterPass.cpp:86-91` selects CULL_BACK when transparency is on),
+so exit-surface fragments never exist there. `two_sided=True` restores
+the entry+exit variant (and doubles the kernel's candidate width).
 """
 
 from __future__ import annotations
@@ -117,6 +120,7 @@ def _mlab_kernel(
     sub: int,  # compute sub-chunk width (DMA stays at `chunk`)
     sat: float,  # last-node alpha above which behind-dK fragments drop
     composite: bool,  # shade + front-to-back blend the K nodes IN-KERNEL
+    two_sided: bool,  # also emit exit-surface (back-face) fragments
 ):
     # mboit_resolve receives the per-pixel moment images (pass-1 output) as
     # extra *inputs* ahead of the outputs: b0, n/2 odd, n/2 even moments.
@@ -378,13 +382,27 @@ def _mlab_kernel(
                             ),
                         )
 
-                    t_in = surface_t(True)  # [C, P] relative t
-                    t_out = surface_t(False)
+                    t_in = surface_t(True)  # [sub, P] relative t
+                    # Front faces only by default: the reference rasterizes
+                    # transparent tubes with CULL_BACK
+                    # (LineRasterPass.cpp:86-91 — getIsTransparencyUsed()
+                    # selects CULL_BACK), so exit-surface fragments are
+                    # never generated there. two_sided=True keeps the
+                    # entry+exit variant (halved sweep/shading width is
+                    # also the kernel's single largest perf lever).
+                    if two_sided:
+                        t_out = surface_t(False)
 
-                    def two(x):
-                        return jnp.concatenate([x, x], axis=0)
+                        def two(x):
+                            return jnp.concatenate([x, x], axis=0)
 
-                    tcand = jnp.concatenate([t_in, t_out], axis=0)  # [2C, P]
+                        tcand = jnp.concatenate([t_in, t_out], axis=0)
+                    else:
+
+                        def two(x):
+                            return x
+
+                        tcand = t_in
                     tw = jnp.where(tcand < _BIG, two(t0) + tcand, _BIG)
                     # Near/far clip in NDC (the raster pipeline's clip
                     # volume), expressed as tw bounds precomputed per tile.
@@ -991,7 +1009,7 @@ def _mlab_kernel(
         "width", "height", "tile_w", "tile_h", "K", "tf_color", "tf_opacity",
         "use_bands", "store_mode", "alpha_from_rows", "n_mom", "trig",
         "no_overflow", "deferred_shade", "sub", "sat", "composite",
-        "interpret",
+        "two_sided", "interpret",
     ),
 )
 def rasterize_capsules_mlab(
@@ -1021,6 +1039,9 @@ def rasterize_capsules_mlab(
     # profile the quality impact may loosen it.
     sat: float = 0.999,
     composite: bool = False,  # shade + blend the K nodes in-kernel
+    # Default False = front-face fragments only, matching the reference's
+    # CULL_BACK for every transparent pipeline (LineRasterPass.cpp:86-91).
+    two_sided: bool = False,
     interpret: bool = False,
 ):
     """MLAB-K transparency pass.
@@ -1091,6 +1112,7 @@ def rasterize_capsules_mlab(
         sub=sub,
         sat=sat,
         composite=composite,
+        two_sided=two_sided,
     )
     extra_in = []
     extra_in_specs = []
@@ -1130,9 +1152,10 @@ def rasterize_capsules_mlab(
             # [K, P] node-buffer channels (d, r, g, b, a) for the
             # vectorized insertion sort.
             *([pltpu.VMEM((K, P), jnp.float32)] * 5),
-            # [2*sub, P] candidate depths: lets the K extraction sweeps be
-            # individually skipped (pl.when on the live hit count).
-            pltpu.VMEM((2 * sub, P), jnp.float32),
+            # Candidate-depth scratch ([2*sub, P] two-sided, [sub, P]
+            # front-only): lets the K extraction sweeps be individually
+            # skipped (pl.when on the live hit count).
+            pltpu.VMEM(((2 if two_sided else 1) * sub, P), jnp.float32),
         ],
     )
     outs = pl.pallas_call(

@@ -73,7 +73,8 @@ def shade_deferred_nodes(depths, feat, alpha, proj_ab, dmin, dmax, cue,
     return col * alpha[None]
 
 
-@partial(jax.jit, static_argnames=("settings", "K", "opacity", "sub", "sat"))
+@partial(jax.jit, static_argnames=("settings", "K", "opacity", "sub", "sat",
+                                   "two_sided"))
 def render_tubes_mlab(
     scene: CapsuleScene,
     view_proj: jnp.ndarray,
@@ -85,12 +86,19 @@ def render_tubes_mlab(
     seg_alpha: jnp.ndarray = None,  # [2, S]: per-segment (alpha0, dalpha)
     sub: int = 32,  # kernel compute sub-chunk width
     sat: float = 0.999,  # saturation-culling threshold (see kernel doc)
+    two_sided: bool = False,  # also blend exit-surface fragments
 ) -> jnp.ndarray:
     """Transparent tube render -> [4, H, W] linear RGBA.
 
     `seg_alpha` (e.g. from the stress hierarchy mapping curve,
     LineDataStress.get_segment_opacity_rows) multiplies the TF opacity
-    per segment through the kernel's alpha rows."""
+    per segment through the kernel's alpha rows.
+
+    `two_sided=False` (default) blends front-face fragments only — the
+    reference rasterizes transparent tubes with CULL_BACK
+    (LineRasterPass.cpp:86-91). `two_sided=True` also blends the exit
+    surfaces, which is what the reference's RAY TRACER composites (its
+    re-cast loop has no backface culling, TubeRayTracing.glsl:61-82)."""
     if seg_alpha is not None:
         # The kernel's alpha rows REPLACE the TF alpha; premultiply the
         # global opacity so curves scale like the plain path.
@@ -125,6 +133,7 @@ def render_tubes_mlab(
         sub=sub,
         sat=sat,
         composite=True,
+        two_sided=two_sided,
         interpret=interpret,
     )
 
@@ -529,8 +538,9 @@ def render_depth_complexity(
 ) -> jnp.ndarray:
     """Fragment count per pixel (reference DepthComplexityRenderer.cpp:346).
 
-    Returns [H, W] float32 counts (capsule entry+exit surfaces both count,
-    like the reference's two tube faces).
+    Returns [H, W] float32 counts. Front-face fragments only, matching the
+    reference's CULL_BACK transparent raster (LineRasterPass.cpp:86-91) —
+    one fragment per capsule crossing, not entry+exit.
     """
     csr, params, _ = prepare_capsule_frame(
         scene, view_proj, camera_position, proj_ab, settings

@@ -12,7 +12,7 @@ from linevis_tpu.render.tube_raster import build_capsule_scene
 W, H = 32, 16
 
 
-def _layered_scene(n=4):
+def _layered_scene(n=4, radius=0.06):
     """n parallel horizontal tubes stacked in depth, all crossing center."""
     pos = np.zeros((n, 2, 3), np.float32)
     for i in range(n):
@@ -20,7 +20,7 @@ def _layered_scene(n=4):
         pos[i, 1] = (0.4, 0.0, 0.1 * i)
     mask = np.ones((n, 2), bool)
     attrs = np.linspace(0.1, 0.9, n, dtype=np.float32)[:, None].repeat(2, 1)
-    return build_capsule_scene(pos, mask, attrs, radius=0.06)
+    return build_capsule_scene(pos, mask, attrs, radius=radius)
 
 
 def _settings():
@@ -37,9 +37,10 @@ def test_mlab_center_blend_matches_manual():
     img = render_tubes_mlab_image(scene, cam, settings=S, K=4, opacity=opacity)
     px = img[H // 2, W // 2]
     assert np.isfinite(img).all()
-    # All 3 tubes + white background along the center ray. Each tube
-    # contributes entry+exit fragments (2 per tube) with alpha = opacity.
-    T = (1.0 - opacity) ** (2 * n)
+    # All tubes + white background along the center ray. Each tube
+    # contributes its FRONT-face fragment only (reference CULL_BACK for
+    # transparency, LineRasterPass.cpp:86-91) with alpha = opacity.
+    T = (1.0 - opacity) ** n
     # Alpha channel = total coverage.
     assert abs(px[3] - (1.0 - T)) < 1e-3, px
     # Front tube is nearest to the camera (z = 0.2 tube is at index n-1).
@@ -94,14 +95,14 @@ def test_wboit_and_depth_complexity():
     ab = jnp.asarray(_proj_constants(cam))
 
     dc = np.asarray(render_depth_complexity(scene, vp, cp, ab, S))
-    # Center ray crosses all n tubes -> 2n fragments (entry+exit).
-    assert dc[H // 2, W // 2] == 2 * n, dc[H // 2, W // 2]
+    # Center ray crosses all n tubes -> n front-face fragments.
+    assert dc[H // 2, W // 2] == n, dc[H // 2, W // 2]
     assert dc[0, 0] == 0
 
     img = np.asarray(render_tubes_wboit(scene, vp, cp, ab, S, opacity=0.4))
     assert np.isfinite(img).all()
-    # Coverage alpha at center matches 1 - (1-a)^(2n).
-    expect = 1.0 - (1.0 - 0.4) ** (2 * n)
+    # Coverage alpha at center matches 1 - (1-a)^n.
+    expect = 1.0 - (1.0 - 0.4) ** n
     assert abs(img[3, H // 2, W // 2] - expect) < 1e-2
 
 
@@ -301,8 +302,12 @@ def test_saturation_culling_error_bound():
         prepare_capsule_frame,
     )
 
-    n = 24  # depth complexity 2n = 48 >> K: deep overflow regime
-    scene = _layered_scene(n)
+    n = 24  # depth complexity n = 24 >> K: deep overflow regime
+    # Thick tubes: with front-face-only fragments the default radius
+    # leaves the far tubes subpixel in y (no covered pixel center), and
+    # too few fragments reach any one pixel for the last node to
+    # saturate. radius 0.25 keeps every tube wider than a pixel.
+    scene = _layered_scene(n, radius=0.25)
     cam = Camera(position=(0.0, 0.0, 4.0), width=W, height=H)
     S = _settings()
     vp = jnp.asarray(cam.view_projection_matrix())

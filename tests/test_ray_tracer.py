@@ -43,7 +43,10 @@ def test_raytraced_matches_mlab_exact_blend():
     """Depth complexity <= K: the re-cast loop and the MLAB K-buffer are
     both exact front-to-back blends of the same analytic surfaces with
     the same shading -> images agree (the reference's cross-renderer
-    consistency argument, VulkanRayTracer vs rasterizers)."""
+    consistency argument, VulkanRayTracer vs rasterizers).  The ray
+    tracer composites entry AND exit surfaces (the reference re-cast
+    loop has no backface culling, TubeRayTracing.glsl:61-82), so the
+    MLAB side runs two_sided=True here."""
     from linevis_tpu.render.oit import render_tubes_mlab
 
     scene = _scene()
@@ -52,7 +55,7 @@ def test_raytraced_matches_mlab_exact_blend():
         scene, vp, cp, ab, settings, max_depth_complexity=24, opacity=0.4
     ))
     ml = np.asarray(render_tubes_mlab(scene, vp, cp, ab, settings, K=16,
-                                      opacity=0.4))
+                                      opacity=0.4, two_sided=True))
     diff = np.abs(rt - ml)
     assert diff.mean() < 2e-3, diff.mean()
     assert (diff > 0.05).mean() < 0.01, (diff > 0.05).mean()
