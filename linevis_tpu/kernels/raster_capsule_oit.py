@@ -97,7 +97,13 @@ def _mlab_kernel(
     params_ref,  # [24]: ray basis 0-8, zA 9, zB 10, dmin 11, dmax 12,
     #            depth_cue_strength 13, opacity_scale 14, log-depth 15-16,
     #            moment bias 17, overestimation 18, px scale 19, wzp 20-22
-    payload_hbm,  # [16, Np + C]
+    payload_hbm,  # [Np + C, 128] — PAIRS AS ROWS (pre-transposed in XLA,
+    #            row dim zero-padded to 128 lanes for DMA alignment):
+    #            per-candidate scalars land on SUBLANES, so the kernel's
+    #            [sub, 1] payload reads are plain slices instead of the
+    #            [1, C] -> [C, 1] lane->sublane transposes that dominated
+    #            the per-block cost (~17 per candidate block) in the
+    #            row-major layout.
     *refs,
     tile_w: int,
     tile_h: int,
@@ -203,7 +209,7 @@ def _mlab_kernel(
         @pl.when(count_k > 0)
         def _(b0_k=b0_k, k=k):
             pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(pl.multiple_of(b0_k * C, C), C)],
+                payload_hbm.at[pl.ds(pl.multiple_of(b0_k * C, C), C), :],
                 coef_scr.at[k],
                 sem.at[k],
             ).start()
@@ -243,7 +249,7 @@ def _mlab_kernel(
         def get_dma(slot, c, b0=b0):
             start = pl.multiple_of((b0 + c) * C, C)
             return pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(start, C)], coef_scr.at[slot],
+                payload_hbm.at[pl.ds(start, C), :], coef_scr.at[slot],
                 sem.at[slot],
             )
 
@@ -265,11 +271,11 @@ def _mlab_kernel(
                 c, zk_eff_prev = state
                 slot = slot_of(c)
                 get_dma(slot, c).wait()
-                coef = coef_scr[slot]  # [16, C]
+                coef = coef_scr[slot]  # [C, 16] (pairs are sublanes)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                 glob = (b0 + c) * C + lane
                 in_run = (glob >= base) & (glob < base + count)
-                zmin_t = coef[15:16, :].T  # [C, 1]
+                zmin_t = coef[:, 15:16]  # [C, 1]
                 chunk_zmin = jnp.min(jnp.where(in_run, zmin_t, 3.0))
                 # Early exit against the per-pixel BLOCKED depth bound
                 # zk_eff = max over pixels of (dK where the pixel rejects
@@ -902,7 +908,9 @@ def _mlab_kernel(
                         jlo = j * sub
 
                         def scal_j(r, jlo=jlo):
-                            return coef[r : r + 1, :].T[jlo : jlo + sub]
+                            # Plain [sub, 1] sublane slice — the payload
+                            # arrives pair-major, so no per-read transpose.
+                            return coef[jlo : jlo + sub, r : r + 1]
 
                         lane_s = jax.lax.broadcasted_iota(
                             jnp.int32, (sub, 1), 0
@@ -1147,7 +1155,8 @@ def rasterize_capsules_mlab(
         * n_out,
         scratch_shapes=[
             # TILE_GROUP first-chunk prefetch slots + 2 double-buffer slots.
-            pltpu.VMEM((TILE_GROUP + 2, R, C), jnp.float32),
+            # Pair-major [C, 128] blocks (see payload_hbm comment).
+            pltpu.VMEM((TILE_GROUP + 2, C, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((TILE_GROUP + 2,)),
             # [K, P] node-buffer channels (d, r, g, b, a) for the
             # vectorized insertion sort.
@@ -1158,12 +1167,20 @@ def rasterize_capsules_mlab(
             pltpu.VMEM(((2 if two_sided else 1) * sub, P), jnp.float32),
         ],
     )
+    # Pair-major payload: one whole-array XLA transpose per frame (~0.1 ms
+    # of HBM traffic at 1080p) buys zero in-kernel lane->sublane
+    # transposes — the row-major layout cost ~17 [1,C]->[C,1] transposes
+    # per candidate block, the dominant per-block fixed cost. The row dim
+    # pads to 128 lanes (Mosaic: lane-dim DMA slices must be 128-aligned);
+    # the padding lanes are DMA'd but never read (~0.8 ms of extra HBM
+    # traffic at Tornado@1080p — bandwidth the r4 profile showed is idle).
+    payload_t = jnp.pad(csr.payload.T, ((0, 0), (0, 128 - R)))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad, P), jnp.float32)] * n_out,
         interpret=interpret,
-    )(counts, starts, params, csr.payload, *extra_in)
+    )(counts, starts, params, payload_t, *extra_in)
     outs = [o[:n_tiles] for o in outs]
     if composite:
         return jnp.stack(outs, axis=0)  # [4, n_tiles, P] RGBA

@@ -100,11 +100,46 @@ class LineRenderer:
 
 
 class OpaqueLineRenderer(LineRenderer):
-    """Reference RENDERING_MODE_OPAQUE (`OpaqueLineRenderer.hpp:40`)."""
+    """Reference RENDERING_MODE_OPAQUE (`OpaqueLineRenderer.hpp:40`).
+
+    `tubeGeometry` setting selects the raster geometry:
+    - 'capsule' (default): analytic linear-swept spheres — the
+      reference's own ray-tracing geometry (`VulkanRayTracer.hpp:53-63`)
+      promoted to the raster path; exact round cross-section, analytic
+      coverage AA, fastest.
+    - 'triangle': the reference's raster default, the
+      `tubeNumSubdivisions`-gon triangle tube
+      (`src/Renderers/Tubes/Tubes.hpp:40`,
+      `src/LineData/LineData.hpp:374-386`, default 8) through the
+      triangle G-buffer pipeline — bit-comparable geometry to the
+      reference, so the SSIM parity claim holds at the geometry level.
+    """
 
     name = "Opaque"
 
+    def set_new_settings(self, settings: SettingsMap) -> None:
+        super().set_new_settings(settings)
+        if settings.has_key("tubeGeometry"):
+            v = settings.get_value("tubeGeometry")
+            if v not in ("capsule", "triangle"):
+                raise ValueError(f"tubeGeometry {v!r}")
+
+    @property
+    def tube_geometry(self) -> str:
+        return self.settings.get_value("tubeGeometry", "capsule")
+
     def render(self, camera: Camera) -> np.ndarray:
+        if self.tube_geometry == "triangle":
+            from linevis_tpu.render.opaque import render_opaque_image
+
+            subdiv = int(self.settings.get_float("tubeNumSubdivisions", 8))
+            mesh = self.line_data.get_tube_mesh(num_subdivisions=subdiv)
+            s = self._raster_settings(camera)
+            s = dataclasses.replace(s, tile_w=32, tile_h=16)
+            return render_opaque_image(
+                mesh, camera, tf=self.transfer_function, settings=s,
+                supersample=2,  # SSAA plays the reference's MSAA role here
+            )
         from linevis_tpu.render.tube_raster import render_tubes_image
 
         scene = self.line_data.get_capsule_scene()

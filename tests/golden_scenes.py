@@ -55,6 +55,24 @@ def scene_opaque_tubes():
     )
 
 
+def scene_triangle_tubes():
+    """Opaque renderer with tubeGeometry='triangle': the reference's
+    8-subdivision triangle-tube raster default (Tubes.hpp:40,
+    LineData.hpp:374-386) through the G-buffer pipeline."""
+    from linevis_tpu.core.settings import SettingsMap
+    from linevis_tpu.render.camera import Camera
+    from linevis_tpu.render.renderer import create_renderer
+
+    w, h = GOLDEN_SIZE
+    r = create_renderer(
+        "Opaque",
+        SettingsMap({"tubeGeometry": "triangle", "depth_cue_strength": 0.2}),
+    )
+    r.set_line_data(_line_data(seed=11, width=0.04))
+    return r.render(Camera(position=(0.0, 0.1, 1.2),
+                           look_at_point=(0, 0, 0), width=w, height=h))
+
+
 def scene_mlab_transparent():
     """Config-2 style: MLAB K=8 transparency."""
     from linevis_tpu.render.oit import render_tubes_mlab_image
@@ -325,6 +343,7 @@ def scene_replay_screenshot():
 
 ALL_SCENES = {
     "opaque_tubes": scene_opaque_tubes,
+    "triangle_tubes": scene_triangle_tubes,
     "mlab_transparent": scene_mlab_transparent,
     "mboit": scene_mboit,
     "stress_bands": scene_stress_bands,

@@ -26,8 +26,8 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 # Fast-tier goldens: one per core pipeline family (~20 s each on 1 CPU).
 # The remaining scenes run in the full tier (-m "").
-_FAST = {"opaque_tubes", "mlab_transparent", "mboit", "depth_peeling",
-         "rtao"}
+_FAST = {"opaque_tubes", "triangle_tubes", "mlab_transparent", "mboit",
+         "depth_peeling", "rtao"}
 
 
 @pytest.mark.parametrize(

@@ -103,6 +103,36 @@ def test_renderer_registry_and_fallback(rng):
         assert len(w) == 1
 
 
+def test_opaque_tube_geometry_setting(rng):
+    """tubeGeometry = capsule | triangle selects the raster geometry; the
+    triangle path is the reference's 8-subdiv tube (Tubes.hpp:40)."""
+    from linevis_tpu.render.camera import Camera
+    from linevis_tpu.render.renderer import create_renderer
+
+    ld = LineData(_traj(rng))
+    ld.set_line_width(0.05)
+    cam = Camera(position=(0.0, 0.1, 1.2), width=64, height=32)
+
+    r = create_renderer("Opaque")
+    r.set_line_data(ld)
+    assert r.tube_geometry == "capsule"
+    img_cap = r.render(cam)
+    assert img_cap.shape == (32, 64, 4) and np.isfinite(img_cap).all()
+
+    r.set_new_settings(SettingsMap({"tubeGeometry": "triangle"}))
+    assert r.tube_geometry == "triangle"
+    img_tri = r.render(cam)
+    assert img_tri.shape == (32, 64, 4) and np.isfinite(img_tri).all()
+    # Both draw the same lines: foreground masks mostly agree.
+    fg_c = np.abs(img_cap[..., :3] - 1.0).max(-1) > 1e-4
+    fg_t = np.abs(img_tri[..., :3] - 1.0).max(-1) > 1e-4
+    assert fg_t.any()
+    assert (fg_c ^ fg_t).mean() < 0.08
+
+    with pytest.raises(ValueError):
+        r.set_new_settings(SettingsMap({"tubeGeometry": "dodecahedron"}))
+
+
 def test_replay_script(rng, tmp_path):
     from linevis_tpu.automation.replay import ReplayWidget
     from linevis_tpu.render.camera import Camera
