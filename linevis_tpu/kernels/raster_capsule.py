@@ -53,7 +53,12 @@ def _capsule_kernel(
     count_ref,  # [n_tiles_pad] SMEM — pairs per tile
     start_ref,  # [n_tiles_pad] SMEM — first pair of each tile's run
     params_ref,  # [16] SMEM
-    payload_hbm,  # [16, Np + C] tile-sorted pair payload
+    payload_hbm,  # [Np + C, 128] tile-sorted pair payload, PAIRS AS
+    #   ROWS (pre-transposed in XLA, row dim zero-padded to 128 lanes for
+    #   DMA alignment): per-candidate scalars land on SUBLANES, so the
+    #   kernel's [sub, 1] payload reads are plain slices instead of
+    #   [1, C] -> [C, 1] lane->sublane transposes (the dominant per-block
+    #   fixed cost in the row-major layout; see raster_capsule_oit.py)
     depth_ref,  # [TILE_GROUP, P] z_ndc
     id_ref,  # [TILE_GROUP, P] float ids
     attr_ref,  # [TILE_GROUP, P] interpolated attribute
@@ -64,7 +69,7 @@ def _capsule_kernel(
     ty_ref,
     tz_ref,
     cov_ref,  # [TILE_GROUP, P] analytic pixel coverage of the winner
-    coef_scr,  # [2, 16, C]
+    coef_scr,  # [TILE_GROUP + 2, C, 128]
     sem,
     *,
     tile_w: int,
@@ -108,7 +113,7 @@ def _capsule_kernel(
         @pl.when(count_k > 0)
         def _(b0_k=b0_k, k=k):
             pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(pl.multiple_of(b0_k * C, C), C)],
+                payload_hbm.at[pl.ds(pl.multiple_of(b0_k * C, C), C), :],
                 coef_scr.at[k],
                 sem.at[k],
             ).start()
@@ -143,7 +148,7 @@ def _capsule_kernel(
         def get_dma(slot, c, b0=b0):
             start = pl.multiple_of((b0 + c) * C, C)
             return pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(start, C)], coef_scr.at[slot],
+                payload_hbm.at[pl.ds(start, C), :], coef_scr.at[slot],
                 sem.at[slot],
             )
 
@@ -159,13 +164,13 @@ def _capsule_kernel(
                 c, zfar_prev = state
                 slot = slot_of(c)
                 get_dma(slot, c).wait()
-                coef = coef_scr[slot]  # [16, C]
+                coef = coef_scr[slot]  # [C, 128] (pairs are sublanes)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
                 glob = (b0 + c) * C + lane
                 in_run = (glob >= base) & (glob < base + count)
                 # Conservative chunk zmin over in-run lanes only (boundary
                 # chunks contain neighbors' pairs).
-                zmin_t = coef[15:16, :].T  # [C, 1]
+                zmin_t = coef[:, 15:16]  # [C, 1]
                 chunk_zmin = jnp.min(jnp.where(in_run, zmin_t, 3.0))
                 exit_now = (
                     (chunk_zmin > zfar_prev) if use_early_z else jnp.bool_(False)
@@ -360,7 +365,9 @@ def _capsule_kernel(
                         jlo = j * sub
 
                         def scal_j(r, jlo=jlo):
-                            return coef[r : r + 1, :].T[jlo : jlo + sub]
+                            # Plain [sub, 1] sublane slice (pair-major
+                            # payload) — no per-read transpose.
+                            return coef[jlo : jlo + sub, r : r + 1]
 
                         lane_s = jax.lax.broadcasted_iota(
                             jnp.int32, (sub, 1), 0
@@ -460,16 +467,21 @@ def rasterize_capsules_pallas(
         * 10,
         scratch_shapes=[
             # TILE_GROUP first-chunk prefetch slots + 2 double-buffer slots.
-            pltpu.VMEM((TILE_GROUP + 2, R, C), jnp.float32),
+            # Pair-major [C, 128] blocks (see payload_hbm comment).
+            pltpu.VMEM((TILE_GROUP + 2, C, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((TILE_GROUP + 2,)),
         ],
     )
+    # Pair-major payload: one whole-array XLA transpose + pad per frame
+    # buys zero in-kernel lane->sublane transposes (see
+    # raster_capsule_oit.py for the measured effect).
+    payload_t = jnp.pad(csr.payload.T, ((0, 0), (0, 128 - R)))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_pad, P), jnp.float32)] * 10,
         interpret=interpret,
-    )(counts, starts, params, csr.payload)
+    )(counts, starts, params, payload_t)
     outs = [o[:n_tiles] for o in outs]
     depth, fid = outs[0], outs[1]
     seg_id = jnp.where(fid < 0, -1, fid.astype(jnp.int32))

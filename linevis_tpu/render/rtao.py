@@ -47,6 +47,12 @@ class RtaoSettings:
     # optional denoiser + Denoiser.hpp:62-99): "None" | "Spatial Hashing"
     # | "EAW".
     denoiser: str = "None"
+    # Rays traced per batch. The (cell, ray) pair expansion materializes
+    # max_ray_cells records per ray through a sort; at 1080p x 4 spp that
+    # is 66M pairs — beyond the compiler's memory budget in one shot.
+    # Batches of ~2M rays keep the working set at the proven 960x540
+    # scale while lax.map reuses one compiled trace. 0 = single batch.
+    rays_per_batch: int = 2_100_000
 
 
 def _cosine_hemisphere(key, normal, num_samples):
@@ -161,12 +167,42 @@ def render_tubes_rtao(
         1, 0, 2, 3
     ).reshape(3, -1)
     d_flat = dirs.transpose(1, 0, 2, 3).reshape(3, -1)
-    t_max = jnp.full((Srays * H * W,), rtao.ao_radius, jnp.float32)
+    n_rays = Srays * H * W
+    t_max = jnp.full((n_rays,), rtao.ao_radius, jnp.float32)
     valid = jnp.broadcast_to(fg[None], (Srays, H, W)).reshape(-1)
-    occluded = trace_ao_occlusion(
-        o_flat, d_flat, t_max, valid, grid,
-        max_ray_cells=rtao.max_ray_cells, interpret=interpret,
-    )
+    rpb = rtao.rays_per_batch
+    if rpb and n_rays > rpb:
+        # Batch the trace: the pair expansion + cell sort materialize
+        # max_ray_cells records per ray, so one 1080p x 4spp shot (66M
+        # pairs) blows the compiler memory budget. lax.map compiles ONE
+        # batch trace and streams the batches through it sequentially —
+        # peak memory is one batch's expansion.
+        n_b = -(-n_rays // rpb)
+        per = -(-n_rays // n_b)
+        per = -(-per // 128) * 128  # chunk-aligned batch width
+        pad = n_b * per - n_rays
+        o_b = jnp.pad(o_flat, ((0, 0), (0, pad))).reshape(3, n_b, per)
+        d_b = jnp.pad(d_flat, ((0, 0), (0, pad))).reshape(3, n_b, per)
+        t_b = jnp.pad(t_max, (0, pad)).reshape(n_b, per)
+        v_b = jnp.pad(valid, (0, pad)).reshape(n_b, per)
+
+        def one_batch(args):
+            ob, db, tb, vb = args
+            return trace_ao_occlusion(
+                ob, db, tb, vb, grid,
+                max_ray_cells=rtao.max_ray_cells, interpret=interpret,
+            )
+
+        occ_b = jax.lax.map(
+            one_batch,
+            (o_b.transpose(1, 0, 2), d_b.transpose(1, 0, 2), t_b, v_b),
+        )
+        occluded = occ_b.reshape(-1)[:n_rays]
+    else:
+        occluded = trace_ao_occlusion(
+            o_flat, d_flat, t_max, valid, grid,
+            max_ray_cells=rtao.max_ray_cells, interpret=interpret,
+        )
     occ_mean = occluded.reshape(Srays, H, W).mean(axis=0)
     if psum_axis is not None:
         # Sample-accumulator reduction over the device mesh: n chips x

@@ -90,6 +90,34 @@ def test_rtao_darkens_concave(rng):
     assert iso.mean() > dense.mean()
 
 
+def test_ray_batching_matches_single_shot(rng):
+    """rays_per_batch streams the pair expansion through lax.map in
+    fixed-size batches (the 1080p memory fix); the traced occlusion must
+    be bit-identical to the single-shot path."""
+    import dataclasses
+
+    from linevis_tpu.render.rtao import render_tubes_rtao
+    from linevis_tpu.render.tube_raster import _proj_constants
+
+    scene = _random_scene(rng)
+    cam = Camera(position=(0.0, 0.2, 1.2), look_at_point=(0, 0, 0),
+                 width=64, height=32)
+    S = RasterSettings(width=64, height=32, tile_w=16, tile_h=8, chunk=16,
+                       span_x=4, span_y=4)
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+    base = RtaoSettings(num_samples=2, ao_radius=0.2, grid_resolution=16,
+                        rays_per_batch=0)
+    one = np.asarray(render_tubes_rtao(scene, vp, cp, ab, S, base))
+    # 2 spp * 64 * 32 = 4096 rays -> 4 batches of 1024+pad.
+    batched = np.asarray(render_tubes_rtao(
+        scene, vp, cp, ab, S,
+        dataclasses.replace(base, rays_per_batch=1024),
+    ))
+    np.testing.assert_array_equal(one, batched)
+
+
 def test_registry_rtao_accumulates_and_resets():
     """Registry 'Vulkan Ray Tracer' accumulates frames for a static camera
     and resets on camera moves (VulkanRayTracer.hpp:135-143 semantics)."""
