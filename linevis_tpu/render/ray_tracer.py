@@ -558,3 +558,138 @@ def render_tubes_mlat(
     out = acc + T[:, None] * bg[None, :3]
     img = jnp.concatenate([out, (1.0 - T)[:, None]], axis=1)
     return jnp.moveaxis(img.reshape(H, W, 4), -1, 0)
+
+
+def build_wide_capsule_bvh(scene: CapsuleScene, builder: str = "linear"):
+    """Pack the capsule BVH for the Pallas wavefront kernel.
+
+    Returns the device groups array ([n_groups*8, 128], see
+    ops/wide_bvh.py). Scene-build-time, camera-independent — hoist and
+    reuse across frames like `build_capsule_bvh`."""
+    from linevis_tpu.ops.wide_bvh import pack_wide_bvh
+
+    bvh = build_capsule_bvh(scene, builder=builder)
+    wide = pack_wide_bvh(
+        bvh,
+        np.asarray(scene.a),
+        np.asarray(scene.ba),
+        float(scene.radius),
+        np.asarray(scene.attr0),
+        np.asarray(scene.dattr),
+        np.asarray(scene.cap_a),
+    )
+    return jnp.asarray(wide.groups)
+
+
+def render_tubes_raytraced_wavefront(
+    scene: CapsuleScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+    K: int = 8,
+    opacity: float = 0.3,
+    wide_groups: jnp.ndarray = None,  # build_wide_capsule_bvh output
+    t_max: float = 1e6,
+    interpret: bool = None,
+) -> jnp.ndarray:
+    """Ray-traced transparency through the Pallas wavefront kernel
+    (`kernels/bvh_wavefront.py`): one shared-stack 8-wide BVH traversal
+    per 128-ray tile block, K-nearest node buffer in VMEM, deferred
+    shading features — the TubeRayTracing.glsl:61-82 + MlatInsert.glsl
+    role in one kernel dispatch.
+
+    Primary rays are generated TILE-major (tile_w x tile_h = 128 rays
+    per wavefront block) so ray blocks are screen tiles: maximally
+    coherent for the shared stack, and the kernel's [K, blocks, P]
+    output resolves through the same shade_deferred_nodes + unpack_tiles
+    path as the raster OIT kernels.
+    """
+    tw_, th_ = settings.tile_w, settings.tile_h
+    if tw_ * th_ != 128:
+        raise ValueError("wavefront blocks are 128 rays: need tile_w*tile_h"
+                         f" == 128, got {tw_}x{th_}")
+    if wide_groups is None:
+        # Host-side packing -> must happen outside the jitted core.
+        wide_groups = build_wide_capsule_bvh(scene)
+    return _wavefront_core(
+        scene, view_proj, camera_position, proj_ab, wide_groups,
+        settings, K, opacity, t_max, interpret,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("settings", "K", "opacity", "t_max", "interpret"),
+)
+def _wavefront_core(
+    scene, view_proj, camera_position, proj_ab, wide_groups,
+    settings: RasterSettings, K: int, opacity: float, t_max: float,
+    interpret: bool = None,
+):
+    from linevis_tpu.kernels.bvh_wavefront import trace_wavefront_kbuffer
+    from linevis_tpu.kernels.raster_xla import unpack_tiles
+    from linevis_tpu.render.oit import shade_deferred_nodes
+
+    W, H = settings.width, settings.height
+    tw_, th_ = settings.tile_w, settings.tile_h
+    if interpret is None:
+        # Under jax.default_device(cpu) the default BACKEND can still be
+        # the TPU plugin — callers cross-checking on CPU pass
+        # interpret=True explicitly.
+        interpret = jax.default_backend() == "cpu"
+
+    basis = _ray_basis(view_proj)
+    tiles_x = -(-W // tw_)
+    tiles_y = -(-H // th_)
+    n_tiles = tiles_x * tiles_y
+    # Tile-major pixel centers (the raster kernels' indexing).
+    lin = jnp.arange(128, dtype=jnp.float32)
+    tid = jnp.arange(n_tiles, dtype=jnp.float32)
+    gx = (
+        (tid % tiles_x)[:, None] * tw_ + (lin % tw_)[None, :] + 0.5
+    )  # [T, P]
+    gy = (tid // tiles_x)[:, None] * th_ + (lin // tw_)[None, :] + 0.5
+    un = gx * (2.0 / W) - 1.0
+    vn = 1.0 - gy * (2.0 / H)
+    d = (
+        basis[:, 0][:, None, None] * un[None]
+        + basis[:, 1][:, None, None] * vn[None]
+        + basis[:, 2][:, None, None]
+    )  # [3, T, P] unit-forward dirs
+    R = n_tiles * 128
+    rays = jnp.concatenate(
+        [
+            jnp.broadcast_to(camera_position[:, None], (3, R)),
+            d.reshape(3, R),
+            jnp.full((1, R), t_max, jnp.float32),
+            jnp.ones((1, R), jnp.float32),
+        ],
+        axis=0,
+    )
+    depths, feat, alpha = trace_wavefront_kbuffer(
+        wide_groups, rays, proj_ab, K=K, opacity=opacity,
+        tf_opacity=settings.tf_opacity, interpret=interpret,
+    )
+
+    # Depth-cue range: same reduction as the raster's _mlab_params.
+    w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]
+    big = jnp.float32(3e38)
+    dmin = jnp.min(jnp.where(scene.mask, w_all, big))
+    dmax = jnp.max(jnp.where(scene.mask, w_all, -big))
+    col = shade_deferred_nodes(
+        depths, feat, alpha, proj_ab, dmin, dmax,
+        jnp.float32(settings.depth_cue_strength), settings,
+    )
+    T = jnp.ones_like(alpha[0])
+    acc = jnp.zeros((3,) + alpha.shape[1:], jnp.float32)
+    for i in range(K):
+        acc = acc + T[None] * col[:, i]
+        T = T * (1.0 - alpha[i])
+    bg = jnp.asarray(settings.background_color, jnp.float32)
+    out = acc + T[None] * bg[:3, None, None]
+
+    def unp(x):
+        return unpack_tiles(x, tiles_x, tiles_y, tw_, th_, W, H)
+
+    return jnp.stack([unp(out[0]), unp(out[1]), unp(out[2]), unp(1.0 - T)], 0)
