@@ -30,7 +30,11 @@ from linevis_tpu.render.lighting import (
 from linevis_tpu.render.pipeline import RasterSettings
 from linevis_tpu.render.transfer_function import TransferFunction
 
-__all__ = ["CapsuleScene", "build_capsule_scene", "render_tubes", "render_tubes_image"]
+__all__ = [
+    "CapsuleScene", "build_capsule_scene", "render_tubes",
+    "render_tubes_image", "PrismScene", "build_prism_scene",
+    "render_tubes_prism",
+]
 
 
 @partial(
@@ -86,6 +90,160 @@ def build_capsule_scene(positions, mask, attrs, radius: float) -> CapsuleScene:
     return CapsuleScene(
         a=a, ba=b - a, attr0=a0, dattr=a1 - a0, mask=seg_mask, cap_a=cap_a,
         radius=float(radius),
+    )
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["capsule", "frames"],
+    meta_fields=["n_sides"],
+)
+@dataclasses.dataclass
+class PrismScene:
+    """Per-segment SoA for the N-gon prism renderer — the reference's
+    triangle-tube raster geometry (`Tubes.hpp:40`, `LineData.hpp:374-386`)
+    rendered analytically (`kernels/raster_prism.py`).
+
+    capsule: the shared segment SoA (binning/payload rows 0-15 reuse the
+             capsule pipeline byte-identically; cap_a is forced to 0 —
+             the triangle tube is open-ended, no cap geometry).
+    frames:  [12, S] parallel-transport frames per segment:
+             rows 0-2 normal at a, 3-5 binormal at a, 6-8 normal at b,
+             9-11 binormal at b (`geometry/frames.py`, the same frames
+             `geometry/tubes.py` places ring vertices with).
+    """
+
+    capsule: CapsuleScene
+    frames: jnp.ndarray
+    n_sides: int
+
+    @property
+    def num_segments(self) -> int:
+        return self.capsule.num_segments
+
+    @property
+    def radius(self) -> float:
+        return self.capsule.radius
+
+    # Duck-type the fields shared paths read off a scene (depth-cue range,
+    # multi-chip band estimates).
+    @property
+    def a(self):
+        return self.capsule.a
+
+    @property
+    def ba(self):
+        return self.capsule.ba
+
+    @property
+    def mask(self):
+        return self.capsule.mask
+
+
+def build_prism_scene(
+    positions, mask, attrs, radius: float, n_sides: int = 8
+) -> PrismScene:
+    """positions [L, P, 3], mask [L, P], attrs [L, P] -> PrismScene.
+
+    Ring vertices implied by (frames, n_sides, radius) are identical to
+    `geometry/tubes.py:build_tube_triangle_mesh` (same
+    parallel_transport_frames, same tube_ring_directions angles)."""
+    from linevis_tpu.geometry.frames import parallel_transport_frames
+
+    cap = build_capsule_scene(positions, mask, attrs, radius)
+    cap = dataclasses.replace(cap, cap_a=jnp.zeros_like(cap.cap_a))
+    pos = jnp.asarray(positions)
+    _, normals, binormals = parallel_transport_frames(
+        pos, jnp.asarray(mask)
+    )  # [L, P, 3] each
+
+    def seg_rows(g):  # [L, P, 3] -> a-end [3, S], b-end [3, S]
+        L, P = g.shape[0], g.shape[1]
+        cf = g.reshape(L * P, 3).T.reshape(3, L, P)
+        return cf[:, :, :-1].reshape(3, -1), cf[:, :, 1:].reshape(3, -1)
+
+    na, nb = seg_rows(normals)
+    bna, bnb = seg_rows(binormals)
+    frames = jnp.concatenate([na, bna, nb, bnb], axis=0).astype(jnp.float32)
+    return PrismScene(capsule=cap, frames=frames, n_sides=int(n_sides))
+
+
+def prepare_prism_frame(
+    scene: PrismScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,
+    settings: RasterSettings,
+):
+    """Capsule binning (the octagon is inscribed in the capsule, so the
+    conservative screen bbox and the exact 2D capsule-vs-tile cull remain
+    valid) + frame rows appended by sorted-id gather AFTER the sort, so
+    the sort width stays at the capsule's 16 operands."""
+    from linevis_tpu.kernels.raster_prism import ROW_FRAME0
+
+    csr, params, basis = prepare_capsule_frame(
+        scene.capsule, view_proj, camera_position, proj_ab, settings
+    )
+    p = csr.payload  # [24, Np + C] (16 sorted + 8 derived)
+    S = scene.num_segments
+    ids = jnp.clip(p[9].astype(jnp.int32), 0, S - 1)
+    frame_rows = scene.frames[:, ids]  # [12, Np + C]
+    pad_rows = ROW_FRAME0 - p.shape[0]
+    if pad_rows > 0:
+        p = jnp.concatenate(
+            [p, jnp.zeros((pad_rows, p.shape[1]), jnp.float32)], axis=0
+        )
+    csr = dataclasses.replace(
+        csr, payload=jnp.concatenate([p[:ROW_FRAME0], frame_rows], axis=0)
+    )
+    return csr, params, basis
+
+
+@partial(jax.jit, static_argnames=("settings", "sub"))
+def render_tubes_prism(
+    scene: PrismScene,
+    view_proj: jnp.ndarray,
+    camera_position: jnp.ndarray,
+    proj_ab: jnp.ndarray,  # [2]
+    settings: RasterSettings,
+    sub: int = 32,
+) -> jnp.ndarray:
+    """Render N-gon prism tubes -> [4, H, W] linear RGBA.
+
+    The flagship PARITY geometry: the reference's 8-subdivision triangle
+    tube silhouette and shading at capsule-kernel throughput (see
+    `kernels/raster_prism.py` for the planarized-quad bound)."""
+    from linevis_tpu.kernels.raster_prism import rasterize_prisms_pallas
+
+    csr, params, basis = prepare_prism_frame(
+        scene, view_proj, camera_position, proj_ab, settings
+    )
+    interpret = jax.default_backend() == "cpu"
+    depth_t, id_t, gbuf_t = rasterize_prisms_pallas(
+        csr, params, settings.width, settings.height,
+        settings.tile_w, settings.tile_h, interpret=interpret,
+        sub=sub, n_sides=scene.n_sides,
+    )
+
+    def unp(x):
+        return unpack_tiles(
+            x, csr.tiles_x, csr.tiles_y, settings.tile_w, settings.tile_h,
+            settings.width, settings.height,
+        )
+
+    zndc = unp(depth_t)
+    seg_id = unp(id_t)
+    attr, nx, ny, nz, tx, ty, tz, cov = (unp(b) for b in gbuf_t)
+
+    w_all = view_proj[3, :3] @ scene.a + view_proj[3, 3]
+    big = jnp.float32(3e38)
+    dmin = jnp.min(jnp.where(scene.mask, w_all, big))
+    dmax = jnp.max(jnp.where(scene.mask, w_all, -big))
+
+    return shade_capsules(
+        zndc, seg_id, attr,
+        jnp.stack([nx, ny, nz], axis=0), jnp.stack([tx, ty, tz], axis=0),
+        camera_position, basis, proj_ab, dmin, dmax, settings,
     )
 
 
