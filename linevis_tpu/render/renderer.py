@@ -107,12 +107,15 @@ class OpaqueLineRenderer(LineRenderer):
       reference's own ray-tracing geometry (`VulkanRayTracer.hpp:53-63`)
       promoted to the raster path; exact round cross-section, analytic
       coverage AA, fastest.
-    - 'triangle': the reference's raster default, the
-      `tubeNumSubdivisions`-gon triangle tube
+    - 'prism' (flagship parity geometry): the reference's raster
+      default, the `tubeNumSubdivisions`-gon triangle tube
       (`src/Renderers/Tubes/Tubes.hpp:40`,
-      `src/LineData/LineData.hpp:374-386`, default 8) through the
-      triangle G-buffer pipeline — bit-comparable geometry to the
-      reference, so the SSIM parity claim holds at the geometry level.
+      `src/LineData/LineData.hpp:374-386`, default 8), rendered
+      analytically by the prism kernel (`kernels/raster_prism.py`) at
+      capsule-kernel speed — identical ring vertices/frames/silhouette
+      to the triangle mesh (planarized side quads, sub-pixel bound).
+    - 'triangle': the same geometry through the exact triangle
+      G-buffer pipeline (`render/opaque.py`) — the slow oracle.
     """
 
     name = "Opaque"
@@ -121,7 +124,7 @@ class OpaqueLineRenderer(LineRenderer):
         super().set_new_settings(settings)
         if settings.has_key("tubeGeometry"):
             v = settings.get_value("tubeGeometry")
-            if v not in ("capsule", "triangle"):
+            if v not in ("capsule", "prism", "triangle"):
                 raise ValueError(f"tubeGeometry {v!r}")
 
     @property
@@ -129,6 +132,18 @@ class OpaqueLineRenderer(LineRenderer):
         return self.settings.get_value("tubeGeometry", "capsule")
 
     def render(self, camera: Camera) -> np.ndarray:
+        if self.tube_geometry == "prism":
+            from linevis_tpu.render.tube_raster import (
+                render_tubes_prism_image,
+            )
+
+            subdiv = int(self.settings.get_float("tubeNumSubdivisions", 8))
+            scene = self.line_data.get_prism_scene(num_subdivisions=subdiv)
+            return render_tubes_prism_image(
+                scene, camera, tf=self.transfer_function,
+                settings=self._raster_settings(camera),
+                supersample=2,  # MSAA role (binary-coverage raster)
+            )
         if self.tube_geometry == "triangle":
             from linevis_tpu.render.opaque import render_opaque_image
 

@@ -33,7 +33,7 @@ from linevis_tpu.render.transfer_function import TransferFunction
 __all__ = [
     "CapsuleScene", "build_capsule_scene", "render_tubes",
     "render_tubes_image", "PrismScene", "build_prism_scene",
-    "render_tubes_prism",
+    "render_tubes_prism", "render_tubes_prism_image",
 ]
 
 
@@ -551,6 +551,45 @@ def render_tubes_image(
         c_pts, o_pts = tf.as_static_points()
         s = dataclasses.replace(s, tf_color=c_pts, tf_opacity=o_pts)
     img = render_tubes(
+        scene,
+        jnp.asarray(cam.view_projection_matrix()),
+        jnp.asarray(np.asarray(camera.position, np.float32)),
+        jnp.asarray(_proj_constants(camera)),
+        s,
+    )
+    img = np.moveaxis(np.asarray(img), 0, -1)
+    if supersample > 1:
+        k = supersample
+        H, W = settings.height, settings.width
+        img = img.reshape(H, k, W, k, 4).mean(axis=(1, 3))
+    return img
+
+
+def render_tubes_prism_image(
+    scene: PrismScene,
+    camera: Camera,
+    tf: Optional[TransferFunction] = None,
+    settings: Optional[RasterSettings] = None,
+    supersample: int = 1,
+) -> np.ndarray:
+    """Host convenience wrapper for the prism path -> [H, W, 4] linear.
+
+    The prism raster has binary coverage (no analytic AA: the faceted
+    silhouette's edges are straight lines, matching the reference's
+    triangle raster + MSAA), so `supersample=2` plays the MSAA role."""
+    settings = settings or RasterSettings(width=camera.width, height=camera.height)
+    cam = camera
+    s = settings
+    if supersample > 1:
+        s = dataclasses.replace(
+            settings, width=settings.width * supersample,
+            height=settings.height * supersample,
+        )
+        cam = dataclasses.replace(camera, width=s.width, height=s.height)
+    if tf is not None:
+        c_pts, o_pts = tf.as_static_points()
+        s = dataclasses.replace(s, tf_color=c_pts, tf_opacity=o_pts)
+    img = render_tubes_prism(
         scene,
         jnp.asarray(cam.view_projection_matrix()),
         jnp.asarray(np.asarray(camera.position, np.float32)),

@@ -139,6 +139,25 @@ class LineData:
             self.dirty = False
         return self._cache[key]
 
+    def get_prism_scene(self, num_subdivisions: int = 8):
+        """Analytic N-gon prism representation — the reference's raster
+        triangle-tube geometry (`Tubes.hpp:40`, `LineData.hpp:374-386`)
+        rendered by `kernels/raster_prism.py` at capsule-kernel speed."""
+        key = ("prisms", self.line_width, self.selected_attribute_index,
+               num_subdivisions)
+        if key not in self._cache:
+            from linevis_tpu.render.tube_raster import build_prism_scene
+
+            self._cache[key] = build_prism_scene(
+                self.trajectories.positions,
+                self.get_filtered_point_mask(),
+                self.selected_attributes(),
+                radius=self.line_width / 2.0,
+                n_sides=num_subdivisions,
+            )
+            self.dirty = False
+        return self._cache[key]
+
     def get_tube_mesh(self, num_subdivisions: int = 8):
         """Triangle-tube representation (reference tubeNumSubdivisions=8)."""
         key = ("tubes", self.line_width, self.selected_attribute_index,

@@ -73,6 +73,24 @@ def scene_triangle_tubes():
                            look_at_point=(0, 0, 0), width=w, height=h))
 
 
+def scene_prism_tubes():
+    """Opaque renderer with tubeGeometry='prism': the same triangle-8
+    geometry as scene_triangle_tubes through the analytic prism kernel
+    (`kernels/raster_prism.py`) — the benchable flagship parity path."""
+    from linevis_tpu.core.settings import SettingsMap
+    from linevis_tpu.render.camera import Camera
+    from linevis_tpu.render.renderer import create_renderer
+
+    w, h = GOLDEN_SIZE
+    r = create_renderer(
+        "Opaque",
+        SettingsMap({"tubeGeometry": "prism", "depth_cue_strength": 0.2}),
+    )
+    r.set_line_data(_line_data(seed=11, width=0.04))
+    return r.render(Camera(position=(0.0, 0.1, 1.2),
+                           look_at_point=(0, 0, 0), width=w, height=h))
+
+
 def scene_mlab_transparent():
     """Config-2 style: MLAB K=8 transparency."""
     from linevis_tpu.render.oit import render_tubes_mlab_image
@@ -344,6 +362,7 @@ def scene_replay_screenshot():
 ALL_SCENES = {
     "opaque_tubes": scene_opaque_tubes,
     "triangle_tubes": scene_triangle_tubes,
+    "prism_tubes": scene_prism_tubes,
     "mlab_transparent": scene_mlab_transparent,
     "mboit": scene_mboit,
     "stress_bands": scene_stress_bands,

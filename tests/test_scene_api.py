@@ -129,6 +129,18 @@ def test_opaque_tube_geometry_setting(rng):
     assert fg_t.any()
     assert (fg_c ^ fg_t).mean() < 0.08
 
+    # 'prism' = same triangle-8 geometry through the analytic prism
+    # kernel: must agree with the exact triangle path pixel-for-pixel up
+    # to edge slivers.
+    r.set_new_settings(SettingsMap({"tubeGeometry": "prism"}))
+    assert r.tube_geometry == "prism"
+    img_pr = r.render(cam)
+    assert img_pr.shape == (32, 64, 4) and np.isfinite(img_pr).all()
+    fg_p = np.abs(img_pr[..., :3] - 1.0).max(-1) > 1e-4
+    assert fg_p.any()
+    assert (fg_p ^ fg_t).mean() < 0.03
+    assert np.abs(img_pr - img_tri).mean() < 6e-3
+
     with pytest.raises(ValueError):
         r.set_new_settings(SettingsMap({"tubeGeometry": "dodecahedron"}))
 
