@@ -394,6 +394,48 @@ def main():
         record["cfg5_error"] = repr(e)[:200]
         emit()
 
+    # ---- ray-traced transparency: Pallas wavefront BVH kernel -------------
+    # Builder-quality delta (bvhBuildAlgorithm justification,
+    # NodesBVHTreePayload.cpp:474-521 role): r5 measured linear LBVH at
+    # 1.11 Mrays/s vs binned-SAH at 8.77 (docs/RT_BUILDER_DELTA.md); the
+    # bench runs the binned-SAH build, memoized on disk (the host-side
+    # build is ~67 s; the BVH is camera-independent).
+    try:
+        gate(300, "rt_wavefront")
+        from linevis_tpu.render.ray_tracer import (
+            build_wide_capsule_bvh,
+            render_tubes_raytraced_wavefront,
+        )
+
+        cache_f = "out/bvh_sah_tornado_bench.npz"
+        try:
+            wide_groups = jnp.asarray(np.load(cache_f)["groups"])
+        except Exception:
+            wide_groups = build_wide_capsule_bvh(scene, builder="binned_sah")
+            os.makedirs("out", exist_ok=True)
+            np.savez(cache_f, groups=np.asarray(wide_groups))
+        chain_rt = make_chain(
+            lambda vp, cp: render_tubes_raytraced_wavefront(
+                scene, vp, cp, ab, settings_oit, K=8, opacity=0.3,
+                wide_groups=wide_groups,
+            )
+        )
+        rt_s = time_chain(chain_rt, n=2, reps=2)
+        record["rt_wavefront_sah_1080p_fps"] = round(1.0 / rt_s, 2)
+        record["rt_wavefront_primary_mrays_per_s"] = round(
+            W * H / rt_s / 1e6, 2
+        )
+        record["rt_builder_delta_note"] = (
+            "linear LBVH 1.11 Mrays/s vs binned-SAH 8.77 (r5, "
+            "docs/RT_BUILDER_DELTA.md)"
+        )
+        emit()
+    except _Skip:
+        emit()
+    except Exception as e:
+        record["rt_wavefront_error"] = repr(e)[:200]
+        emit()
+
     # ---- roofline: achieved rates vs v5e peaks ------------------------------
     # Peaks: HBM ~819 GB/s (public v5e spec). VPU f32 FMA peak is estimated
     # at ~5e12 flop/s (8x128 lanes x ~2 FMA issue x 2 flops x ~1.4 GHz) —
