@@ -111,7 +111,9 @@ def render_pair(pos, mask, attrs, radius, width, height, ss=2):
     from linevis_tpu.render.transfer_function import TransferFunction
     from linevis_tpu.render.tube_raster import (
         build_capsule_scene,
+        build_prism_scene,
         render_tubes_image,
+        render_tubes_prism_image,
     )
 
     cam = Camera(position=(0.0, 0.1, 1.2), look_at_point=(0.0, 0.0, 0.0),
@@ -125,6 +127,12 @@ def render_pair(pos, mask, attrs, radius, width, height, ss=2):
     img_capsule = render_tubes_image(scene, cam, tf=tf, settings=settings,
                                      supersample=ss)
 
+    # The benchable flagship: the same triangle-8 geometry through the
+    # analytic prism kernel (kernels/raster_prism.py).
+    pscene = build_prism_scene(pos, mask, attrs, radius=radius)
+    img_prism = render_tubes_prism_image(pscene, cam, tf=tf,
+                                         settings=settings, supersample=ss)
+
     # Reference geometry: 8-subdivision triangle tubes (LineData.hpp:374).
     mesh = build_tube_triangle_mesh(
         jnp.asarray(pos), jnp.asarray(mask), jnp.asarray(attrs),
@@ -132,7 +140,7 @@ def render_pair(pos, mask, attrs, radius, width, height, ss=2):
     )
     img_tri = render_opaque_image(mesh, cam, tf=tf, settings=settings,
                                   supersample=ss)
-    return np.asarray(img_capsule), np.asarray(img_tri)
+    return np.asarray(img_capsule), np.asarray(img_prism), np.asarray(img_tri)
 
 
 def main():
@@ -167,23 +175,37 @@ def main():
             "geometry_delta_vs_reference": 0.0,
             "why": "identical 8-subdiv triangle tubes by construction",
         },
+        # The BENCHABLE flagship: tubeGeometry='prism' renders the same
+        # triangle-8 rings/frames/silhouette analytically
+        # (kernels/raster_prism.py, planarized side quads); its measured
+        # deviation from the exact triangle G-buffer is recorded per
+        # scene and gated at the 0.99 north star.
+        "prism_variant": {"scenes": {}},
         "capsule_variant": {"scenes": {}},
     }
     out["scenes"] = out["capsule_variant"]["scenes"]  # legacy alias
-    print(f"geometry parity at {W}x{H} (2x SSAA), capsule variant vs the "
-          f"flagship 8-subdiv triangle tubes")
+    print(f"geometry parity at {W}x{H} (2x SSAA): capsule + prism variants "
+          f"vs the exact 8-subdiv triangle tubes")
     for name, (pos, mask, attrs, radius) in parity_scenes().items():
-        cap, tri = render_pair(pos, mask, attrs, radius, W, H)
+        cap, prism, tri = render_pair(pos, mask, attrs, radius, W, H)
         assert np.isfinite(cap).all() and np.isfinite(tri).all(), name
+        assert np.isfinite(prism).all(), name
         s = float(ssim(cap[..., :3].mean(-1), tri[..., :3].mean(-1)))
         mad = float(np.abs(cap[..., :3] - tri[..., :3]).mean())
         out["scenes"][name] = {"ssim": round(s, 5), "mad": round(mad, 6)}
-        print(f"  {name:12s} SSIM {s:.5f}   mean|diff| {mad:.6f}")
+        sp = float(ssim(prism[..., :3].mean(-1), tri[..., :3].mean(-1)))
+        madp = float(np.abs(prism[..., :3] - tri[..., :3]).mean())
+        out["prism_variant"]["scenes"][name] = {
+            "ssim": round(sp, 5), "mad": round(madp, 6),
+        }
+        print(f"  {name:12s} capsule SSIM {s:.5f} (|d| {mad:.6f})   "
+              f"prism SSIM {sp:.5f} (|d| {madp:.6f})")
         try:
             from linevis_tpu.render.framebuffer import save_png
 
             os.makedirs("out", exist_ok=True)
             save_png(f"out/parity_{name}_capsule.png", cap)
+            save_png(f"out/parity_{name}_prism.png", prism)
             save_png(f"out/parity_{name}_tri.png", tri)
         except Exception:
             pass

@@ -42,8 +42,9 @@ def test_wide_tube_shading_parity():
     attrs = np.broadcast_to(
         np.linspace(0, 1, P, dtype=np.float32)[None], (L, P)
     ).copy()
-    cap, tri = render_pair(pos, mask, attrs, 0.02, 256, 128)
+    cap, prism, tri = render_pair(pos, mask, attrs, 0.02, 256, 128)
     assert np.isfinite(cap).all() and np.isfinite(tri).all()
+    assert np.isfinite(prism).all()
     s = ssim(cap[..., :3].mean(-1), tri[..., :3].mean(-1))
     # Interior shading must agree; the only residual is the 8-gon facet
     # profile (measured 0.981 at ~20 px/diameter — silhouette-band
@@ -54,6 +55,10 @@ def test_wide_tube_shading_parity():
     fg_c = np.abs(cap[..., :3] - 1.0).max(-1) > 1e-4
     fg_t = np.abs(tri[..., :3] - 1.0).max(-1) > 1e-4
     assert (fg_c ^ fg_t).mean() < 0.02
+    # The prism path is the SAME triangle-8 geometry (planarized quads):
+    # it must beat the capsule's facet-residual score decisively.
+    sp = ssim(prism[..., :3].mean(-1), tri[..., :3].mean(-1))
+    assert sp >= 0.99, f"prism-vs-triangle SSIM {sp:.4f}"
 
 
 @pytest.mark.slow
@@ -85,5 +90,9 @@ def test_full_resolution_parity_gate():
     assert out["width"] >= 1920
     assert out["flagship"]["tubeGeometry"] == "triangle"
     assert out["flagship"]["geometry_delta_vs_reference"] == 0.0
+    # The BENCHABLE flagship (tubeGeometry='prism') renders the same
+    # triangle-8 geometry analytically: the 0.99 north-star gate applies.
+    for name, rec in out["prism_variant"]["scenes"].items():
+        assert rec["ssim"] >= 0.99, ("prism", name, rec)
     for name, rec in out["capsule_variant"]["scenes"].items():
         assert rec["ssim"] >= 0.92, (name, rec)
