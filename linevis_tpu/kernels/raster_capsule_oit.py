@@ -20,8 +20,9 @@ tile): runs arrive front-to-back (z-bucket sorted), and each level tests
 candidates against the per-pixel K-buffer state —
   1. per-CANDIDATE: a fragment behind a pixel's K-th node is rejected
      when that pixel is *blocked* — exactly (no_overflow: a full buffer
-     inserts at pos K and drops) or with error < 1-`sat` (overflow: the
-     last node's merge weight is 1-alpha_K < 1-sat);
+     inserts at pos K and drops) or with TOTAL per-pixel error < 1-`sat`
+     (overflow: the K-node cumulative transmittance prod(1-a_i) is
+     already <= 1-sat, and everything dropped composites under it);
   2. per-BLOCK: a [sub]-candidate block whose nearest conservative depth
      is behind every *unblocked* pixel's bound is skipped before its
      intersection math;
@@ -66,6 +67,27 @@ from linevis_tpu.kernels.raster_pallas import TILE_GROUP, SortedBinning
 __all__ = ["rasterize_capsules_mlab"]
 
 _BIG = 1e30
+
+# Node-row width of the narrow-insert fast path for K > 8 kernels (one
+# 8x128 vreg of sublanes): while a tile's occupancy fits, sweeps insert
+# into [8, P] slices of the [K, P] node buffer.
+_NARROW_R = 8
+
+
+def _row_product(x, n):
+    """prod over the leading n sublane rows of x ([n, P] -> [1, P]).
+
+    Mosaic has no multiplicative reduce; a halving tree is log2(n) wide
+    vector multiplies (an odd remainder row folds into row 0)."""
+    while n > 1:
+        h = n // 2
+        lo = x[0:h] * x[h : 2 * h]
+        if n % 2:
+            lo = jnp.concatenate(
+                [lo[0:1] * x[n - 1 : n], lo[1:]], axis=0
+            )
+        x, n = lo, h
+    return x
 
 # store modes that are pure per-pixel accumulators (no K-buffer insertion)
 _ACCUM_MODES = ("wboit", "count", "mboit_gen", "mboit_resolve")
@@ -152,6 +174,14 @@ def _mlab_kernel(
     # fewer than K hits, and a skipped sweep saves ~7 full [2C, P]
     # reduction passes (min + tie window + 5 masked channel sums).
     tw_scr = refs[n_out + 7]
+    # Narrow-insert fast path (K > NARROW_R only): per-tile max node
+    # occupancy, tracked in SMEM. Nodes pack as a depth-sorted prefix
+    # (sentinels at the end), so while occupancy + pending sweeps fits in
+    # the first NARROW_R rows, the insertion sort runs on [NARROW_R, P]
+    # slices instead of [K, P] — at K=32 that is 4x less vector work per
+    # sweep, and eviction/overflow-merge is statically impossible there.
+    narrow_on = K > _NARROW_R and store_mode not in _ACCUM_MODES
+    occ_smem = refs[n_out + 8] if narrow_on else None
     if not composite:
         d_refs = out[0:K]
         r_refs = out[K : 2 * K]
@@ -262,6 +292,8 @@ def _mlab_kernel(
                 )
                 for s in node_scr[1:]:
                     s[:] = jnp.zeros(s.shape, jnp.float32)
+            if narrow_on:
+                occ_smem[0] = jnp.int32(0)
 
             def cond(state):
                 c, _ = state
@@ -293,14 +325,23 @@ def _mlab_kernel(
 
                 def _blocked_zk():
                     # Per-pixel "no fragment behind dK can matter" bound.
-                    # Pixels whose last node is not saturated (or buffer
-                    # not full, for no_overflow) keep bound 2.0: every
-                    # future fragment still matters there.
+                    # Pixels whose buffer is not full (no_overflow) or
+                    # whose K-node transmittance budget is not yet spent
+                    # keep bound 2.0: every future fragment still matters.
                     dK_row = node_scr[0][K - 1 : K, :]
                     if no_overflow:
                         blocked = dK_row < 2.0
                     else:
-                        blocked = node_scr[4][K - 1 : K, :] >= sat
+                        # Cumulative transmittance T_K = prod(1 - a_i):
+                        # every fragment behind the K-th node composites
+                        # under T_K, so the TOTAL contribution of ALL
+                        # dropped fragments is < T_K <= 1 - sat — a
+                        # rigorous per-pixel error bound (the pre-r5
+                        # last-node-alpha test bounded only each MERGE's
+                        # weight, not the accumulated error, and fired
+                        # strictly less often since 1 - a_K >= T_K).
+                        T_K = _row_product(1.0 - node_scr[4][:], K)
+                        blocked = T_K <= (1.0 - sat)
                     return blocked, dK_row
 
                 # Per-candidate-block processing, shapes [sub, P] /
@@ -718,7 +759,11 @@ def _mlab_kernel(
                     # count instead of K statically-unrolled pl.when
                     # regions — K scalar-core branches per block cost more
                     # than the skipped vector work they guard.
-                    def sweep_once(rc, gc, bc, ac):
+                    def sweep_once(rc, gc, bc, ac, R=K):
+                        # R < K (narrow fast path): occupancy + pending
+                        # sweeps fit in the first R rows, so rows [R:]
+                        # are sentinels throughout and eviction is
+                        # impossible — the insert runs on [R, P] slices.
 
                         def _run():
                             tw_s = tw_scr[:]
@@ -781,10 +826,9 @@ def _mlab_kernel(
                             # pos shift down.  pos == K (including the
                             # has=False carry, whose depth 2.0 ties the empty-
                             # node sentinel) is automatically a no-op.
-                            dS, rS, gS, bS, aS = node_scr
-                            d_all = dS[:]
+                            d_all = node_scr[0][0:R]
                             cd = carry[0]
-                            kidx = jax.lax.broadcasted_iota(jnp.int32, (K, P), 0)
+                            kidx = jax.lax.broadcasted_iota(jnp.int32, (R, P), 0)
                             pos = jnp.sum(
                                 jnp.where(d_all <= cd, 1, 0), axis=0,
                                 keepdims=True,
@@ -819,20 +863,20 @@ def _mlab_kernel(
                                 )
                                 > 0
                             ) & has
-                            pos = jnp.where(dup, K, pos)
+                            pos = jnp.where(dup, R, pos)
 
                             def ins(all_v, c_v):
                                 shifted = jnp.concatenate(
-                                    [all_v[0:1], all_v[: K - 1]], axis=0
+                                    [all_v[0:1], all_v[: R - 1]], axis=0
                                 )
                                 return jnp.where(
                                     kidx < pos, all_v,
                                     jnp.where(kidx == pos, c_v, shifted),
                                 )
 
-                            olds = (d_all, rS[:], gS[:], bS[:], aS[:])
+                            olds = tuple(s[0:R] for s in node_scr)
                             news = [ins(o, c) for o, c in zip(olds, carry)]
-                            if not no_overflow:
+                            if not no_overflow and R == K:
                                 # Evicted fragment (the old last node if an
                                 # insert happened, else the carry itself):
                                 # composite into the last node (MLAB overflow
@@ -869,7 +913,7 @@ def _mlab_kernel(
                                     news[4],
                                 )
                             for ref, new in zip(node_scr, news):
-                                ref[:] = new
+                                ref[0:R] = new
                             tw_scr[:] = jnp.where(win, _BIG, tw_s)
 
                         _run()
@@ -888,15 +932,44 @@ def _mlab_kernel(
                         @pl.when(nhit > 0)
                         def _():
                             rc, gc, bc, ac = shade_candidates()
+                            nsw = jnp.minimum(nhit, K)
 
-                            def _sweep_body(_s, carry):
-                                sweep_once(rc, gc, bc, ac)
-                                return carry
+                            def _sweeps(R):
+                                def _sweep_body(_s, carry):
+                                    sweep_once(rc, gc, bc, ac, R=R)
+                                    return carry
 
-                            jax.lax.fori_loop(
-                                0, jnp.minimum(nhit, K), _sweep_body,
-                                jnp.int32(0),
-                            )
+                                jax.lax.fori_loop(
+                                    0, nsw, _sweep_body, jnp.int32(0)
+                                )
+
+                            if not narrow_on:
+                                _sweeps(K)
+                            else:
+                                # Occupancy can grow by at most one node
+                                # per sweep: while occ + nsw fits the
+                                # narrow window, the whole block inserts
+                                # into [NARROW_R, P] slices.
+                                narrow = occ_smem[0] + nsw <= _NARROW_R
+
+                                @pl.when(narrow)
+                                def _():
+                                    _sweeps(_NARROW_R)
+
+                                @pl.when(jnp.logical_not(narrow))
+                                def _():
+                                    _sweeps(K)
+
+                                # Exact recompute (nodes pack as a depth-
+                                # sorted prefix): one [K, P] compare+sum.
+                                occ_smem[0] = jnp.max(
+                                    jnp.sum(
+                                        jnp.where(
+                                            node_scr[0][:] < 2.0, 1, 0
+                                        ),
+                                        axis=0,
+                                    )
+                                )
 
                 @pl.when(jnp.logical_not(exit_now))
                 def _():
@@ -1040,11 +1113,11 @@ def rasterize_capsules_mlab(
     no_overflow: bool = False,  # drop evicted fragments (exact peeling pass)
     deferred_shade: bool = False,  # nodes carry (attr, cosc, spec) features
     sub: int = 32,  # compute sub-chunk width (DMA stays at `chunk`)
-    # Saturation threshold for behind-dK rejection: a dropped fragment's
-    # merge weight is < 1 - sat, but the ACCUMULATED error over many
-    # drops is only bounded per-composite step, so the default stays at
-    # the conservative 0.999 (the pre-r4 tile-wide gate); callers that
-    # profile the quality impact may loosen it.
+    # Transmittance budget for behind-dK rejection: fragments behind the
+    # K-th node drop once the K-node cumulative transmittance
+    # T_K = prod(1 - a_i) falls to <= 1 - sat. The TOTAL contribution of
+    # all dropped fragments composites under T_K, so the per-pixel error
+    # is rigorously < 1 - sat (sat >= 2 disables culling entirely).
     sat: float = 0.999,
     composite: bool = False,  # shade + blend the K nodes in-kernel
     # Default False = front-face fragments only, matching the reference's
@@ -1165,6 +1238,9 @@ def rasterize_capsules_mlab(
             # front-only): lets the K extraction sweeps be individually
             # skipped (pl.when on the live hit count).
             pltpu.VMEM(((2 if two_sided else 1) * sub, P), jnp.float32),
+            # Narrow-insert occupancy cell (K > 8 K-buffer modes only).
+            *([pltpu.SMEM((1,), jnp.int32)]
+              if K > 8 and store_mode not in _ACCUM_MODES else []),
         ],
     )
     # Pair-major payload: one whole-array XLA transpose per frame (~0.1 ms
