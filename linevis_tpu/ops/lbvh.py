@@ -427,3 +427,228 @@ def build_bvh_sah(aabb_min, aabb_max, num_bins: int = 16) -> Lbvh:
         node_max=jnp.asarray(node_max),
         leaf_prim=jnp.asarray(perm),
     )
+
+
+def _surface_np(mn, mx):
+    d = np.maximum(mx - mn, 0.0)
+    return (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2]
+            + d[..., 2] * d[..., 0])
+
+
+def _topdown_from_split(amin, amax, perm, split_range):
+    """Shared top-down scaffolding (iterative DFS, preorder internal ids,
+    bounds fill) for host-side builders — `split_range(lo, hi)` partitions
+    `perm[lo:hi]` in place and returns mid (lo < mid < hi)."""
+    n = amin.shape[0]
+    left = np.zeros((n - 1,), np.int32)
+    right = np.zeros((n - 1,), np.int32)
+    node_min = np.zeros((2 * n - 1, 3), np.float32)
+    node_max = np.zeros((2 * n - 1, 3), np.float32)
+
+    def child_id(lo, hi, next_internal):
+        if hi - lo == 1:
+            return (n - 1) + lo, next_internal
+        return next_internal, next_internal + 1
+
+    next_internal = 1
+    stack = [(0, 0, n)]
+    while stack:
+        my_id, lo, hi = stack.pop()
+        mid = split_range(lo, hi)
+        lid, next_internal = child_id(lo, mid, next_internal)
+        rid, next_internal = child_id(mid, hi, next_internal)
+        left[my_id] = lid
+        right[my_id] = rid
+        if mid - lo > 1:
+            stack.append((lid, lo, mid))
+        if hi - mid > 1:
+            stack.append((rid, mid, hi))
+
+    node_min[n - 1:] = amin[perm]
+    node_max[n - 1:] = amax[perm]
+    for i in range(n - 2, -1, -1):
+        node_min[i] = np.minimum(node_min[left[i]], node_min[right[i]])
+        node_max[i] = np.maximum(node_max[left[i]], node_max[right[i]])
+    return Lbvh(
+        left=jnp.asarray(left),
+        right=jnp.asarray(right),
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        leaf_prim=jnp.asarray(perm),
+    )
+
+
+def build_bvh_sweep_sah(aabb_min, aabb_max) -> Lbvh:
+    """Full-sweep SAH builder (host-side), same `Lbvh` layout.
+
+    The reference's highest-quality CPU builder option ("Sweep SAH" of
+    `src/LineData/TrianglePayload/NodesBVHTreePayload.cpp:474-521` over
+    madmann91/bvh): per node, primitives are SORTED by centroid on each
+    axis and the exact SAH cost SA_L*N_L + SA_R*N_R is evaluated at EVERY
+    split position via prefix/suffix bound sweeps — no binning error.
+    O(n log^2 n) vs binned's O(n log n); best tree quality of the
+    top-down family.
+    """
+    amin = np.asarray(aabb_min, np.float32)
+    amax = np.asarray(aabb_max, np.float32)
+    n = amin.shape[0]
+    if n == 0:
+        raise ValueError("need >= 1 primitive")
+    if n == 1:
+        return Lbvh(
+            left=jnp.zeros((0,), jnp.int32),
+            right=jnp.zeros((0,), jnp.int32),
+            node_min=jnp.asarray(amin),
+            node_max=jnp.asarray(amax),
+            leaf_prim=jnp.zeros((1,), jnp.int32),
+        )
+    cent = 0.5 * (amin + amax)
+    perm = np.arange(n, dtype=np.int32)
+
+    def split_range(lo, hi):
+        idx = perm[lo:hi]
+        m = hi - lo
+        best = None  # (cost, axis, i, order)
+        for ax in range(3):
+            order = np.argsort(cent[idx, ax], kind="stable")
+            o_idx = idx[order]
+            pmin = np.minimum.accumulate(amin[o_idx], axis=0)[:-1]
+            pmax = np.maximum.accumulate(amax[o_idx], axis=0)[:-1]
+            smin = np.minimum.accumulate(amin[o_idx][::-1], axis=0)[::-1][1:]
+            smax = np.maximum.accumulate(amax[o_idx][::-1], axis=0)[::-1][1:]
+            counts = np.arange(1, m, dtype=np.float64)
+            cost = (_surface_np(pmin, pmax) * counts
+                    + _surface_np(smin, smax) * (m - counts))
+            i = int(np.argmin(cost))
+            if best is None or cost[i] < best[0]:
+                best = (float(cost[i]), ax, i, order)
+        _, ax, i, order = best
+        perm[lo:hi] = idx[order]
+        return lo + i + 1
+
+    return _topdown_from_split(amin, amax, perm, split_range)
+
+
+def build_bvh_ploc(aabb_min, aabb_max, search_radius: int = 16) -> Lbvh:
+    """PLOC (parallel locally-ordered clustering) builder, `Lbvh` layout.
+
+    The reference's "Locally-Ordered Clustering" builder option
+    (`NodesBVHTreePayload.cpp:474-521` over madmann91/bvh, Meister &
+    Bittner 2018): leaves are Morton-sorted, then clusters repeatedly
+    merge with their nearest neighbor (minimal merged surface area)
+    within a +-`search_radius` window; mutual nearest pairs merge each
+    round. Bottom-up agglomerative topology, relabeled to this module's
+    preorder id scheme.
+    """
+    amin = np.asarray(aabb_min, np.float32)
+    amax = np.asarray(aabb_max, np.float32)
+    n = amin.shape[0]
+    if n == 0:
+        raise ValueError("need >= 1 primitive")
+    if n == 1:
+        return Lbvh(
+            left=jnp.zeros((0,), jnp.int32),
+            right=jnp.zeros((0,), jnp.int32),
+            node_min=jnp.asarray(amin),
+            node_max=jnp.asarray(amax),
+            leaf_prim=jnp.zeros((1,), jnp.int32),
+        )
+    cent = 0.5 * (amin + amax)
+    lo_all = cent.min(axis=0)
+    ext = np.maximum(cent.max(axis=0) - lo_all, 1e-12)
+    q = np.clip(((cent - lo_all) / ext * 1023.0), 0, 1023).astype(np.uint64)
+
+    def expand(v):
+        v = (v | (v << 16)) & np.uint64(0x30000FF)
+        v = (v | (v << 8)) & np.uint64(0x300F00F)
+        v = (v | (v << 4)) & np.uint64(0x30C30C3)
+        v = (v | (v << 2)) & np.uint64(0x9249249)
+        return v
+
+    codes = (expand(q[:, 0]) << np.uint64(2)) | (expand(q[:, 1])
+             << np.uint64(1)) | expand(q[:, 2])
+    order = np.argsort(codes, kind="stable")
+
+    # Cluster state: temp node ids (leaves 0..n-1, internals n..2n-2).
+    ids = order.astype(np.int32)
+    bmin = amin[order].copy()
+    bmax = amax[order].copy()
+    tmp_l = np.zeros((n - 1,), np.int32)
+    tmp_r = np.zeros((n - 1,), np.int32)
+    next_tmp = n
+    while ids.shape[0] > 1:
+        m = ids.shape[0]
+        rad = min(search_radius, m - 1)
+        best_c = np.full((m,), np.inf, np.float64)
+        best_j = np.full((m,), -1, np.int64)
+        for d in range(1, rad + 1):
+            mm = np.minimum(bmin[:-d], bmin[d:])
+            mx = np.maximum(bmax[:-d], bmax[d:])
+            c = _surface_np(mm, mx)
+            i = np.arange(m - d)
+            upd = c < best_c[:-d]
+            best_c[:-d][upd] = c[upd]
+            best_j[:-d][upd] = i[upd] + d
+            updr = c < best_c[d:]
+            best_c[d:][updr] = c[updr]
+            best_j[d:][updr] = i[updr]
+        mutual = best_j[best_j] == np.arange(m)
+        first = mutual & (np.arange(m) < best_j)
+        keep = np.ones((m,), bool)
+        new_ids = ids.copy()
+        fi = np.nonzero(first)[0]
+        for i in fi:  # sequential id assignment (deterministic)
+            j = best_j[i]
+            tmp_l[next_tmp - n] = ids[i]
+            tmp_r[next_tmp - n] = ids[j]
+            new_ids[i] = next_tmp
+            next_tmp += 1
+            keep[j] = False
+        bmin[fi] = np.minimum(bmin[fi], bmin[best_j[fi]])
+        bmax[fi] = np.maximum(bmax[fi], bmax[best_j[fi]])
+        if not first.any():  # safety: force-merge the first pair
+            tmp_l[next_tmp - n] = ids[0]
+            tmp_r[next_tmp - n] = ids[1]
+            new_ids[0] = next_tmp
+            next_tmp += 1
+            keep[1] = False
+            bmin[0] = np.minimum(bmin[0], bmin[1])
+            bmax[0] = np.maximum(bmax[0], bmax[1])
+        ids = new_ids[keep]
+        bmin = bmin[keep]
+        bmax = bmax[keep]
+
+    # Preorder relabel: internal ids 0..n-2 (parent < children), leaf
+    # slots in DFS encounter order carry the primitive permutation.
+    left = np.zeros((n - 1,), np.int32)
+    right = np.zeros((n - 1,), np.int32)
+    perm = np.zeros((n,), np.int32)
+    node_min = np.zeros((2 * n - 1, 3), np.float32)
+    node_max = np.zeros((2 * n - 1, 3), np.float32)
+    next_internal = 1
+    next_leaf = 0
+    stack = [(0, int(ids[0]))]  # (new id, tmp id) — tmp root
+    while stack:
+        my_id, tmp = stack.pop()
+        for side, arr in ((tmp_l[tmp - n], left), (tmp_r[tmp - n], right)):
+            if side < n:  # leaf
+                slot = (n - 1) + next_leaf
+                perm[next_leaf] = side
+                next_leaf += 1
+                arr[my_id] = slot
+            else:
+                arr[my_id] = next_internal
+                stack.append((next_internal, int(side)))
+                next_internal += 1
+    node_min[n - 1:] = amin[perm]
+    node_max[n - 1:] = amax[perm]
+    for i in range(n - 2, -1, -1):
+        node_min[i] = np.minimum(node_min[left[i]], node_min[right[i]])
+        node_max[i] = np.maximum(node_max[left[i]], node_max[right[i]])
+    return Lbvh(
+        left=jnp.asarray(left),
+        right=jnp.asarray(right),
+        node_min=jnp.asarray(node_min),
+        node_max=jnp.asarray(node_max),
+        leaf_prim=jnp.asarray(perm),
+    )

@@ -43,9 +43,10 @@ def build_capsule_bvh(scene: CapsuleScene, builder: str = "linear"):
     """BVH over per-segment capsule AABBs (the BLAS role). Masked-out
     segments get far-away degenerate boxes so they never intersect.
 
-    `builder`: "linear" (Morton radix LBVH, on-device) or "binned_sah"
-    (host-side binned SAH — higher tree quality, slower build; the
-    reference's builder-quality options, NodesBVHTreePayload.cpp:474-521).
+    `builder`: "linear" (Morton radix LBVH, on-device) or one of the
+    host-side quality builders "binned_sah" | "sweep_sah" | "ploc" — the
+    reference's full builder-quality set (Binned SAH / Sweep SAH / LOC /
+    Linear, NodesBVHTreePayload.cpp:474-521 over madmann91/bvh).
     """
     r = scene.radius
     a = scene.a
@@ -55,12 +56,17 @@ def build_capsule_bvh(scene: CapsuleScene, builder: str = "linear"):
     far = jnp.float32(1e7)
     lo = jnp.where(scene.mask[None], lo, far)
     hi = jnp.where(scene.mask[None], hi, far)
-    if builder == "binned_sah":
+    if builder in ("binned_sah", "sweep_sah", "ploc"):
         import numpy as _np
 
-        from linevis_tpu.ops.lbvh import build_bvh_sah
+        from linevis_tpu.ops import lbvh as _lbvh
 
-        return build_bvh_sah(_np.asarray(lo.T), _np.asarray(hi.T))
+        fn = {
+            "binned_sah": _lbvh.build_bvh_sah,
+            "sweep_sah": _lbvh.build_bvh_sweep_sah,
+            "ploc": _lbvh.build_bvh_ploc,
+        }[builder]
+        return fn(_np.asarray(lo.T), _np.asarray(hi.T))
     if builder != "linear":
         raise ValueError(f"unknown BVH builder {builder!r}")
     return build_lbvh(lo.T, hi.T)

@@ -407,7 +407,8 @@ class VulkanRayTracerRenderer(LineRenderer):
             self._last_vp = vp_np
         if self._bvh is None:
             # Builder quality option (reference bvhBuildAlgorithm,
-            # DeferredModes.hpp:79-92): "linear" | "binned_sah".
+            # DeferredModes.hpp:79-92): "linear" | "binned_sah" |
+            # "sweep_sah" | "ploc" (the reference's 4-builder set).
             self._bvh = build_capsule_bvh(
                 scene,
                 builder=str(

@@ -2,6 +2,7 @@
 `src/LineData/TrianglePayload/NodesBVHTreePayload.cpp:474-521` /
 `submodules/bvh`, LINEAR_BVH builder of DeferredModes.hpp:79-92."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -174,3 +175,51 @@ def test_binned_sah_builder_matches_linear():
     assert ((p1 >= 0) == (p2 >= 0)).all()
     hit = p1 >= 0
     assert np.allclose(t1[hit], t2[hit], atol=1e-4)
+
+
+@pytest.mark.parametrize("builder", ["sweep_sah", "ploc"])
+def test_quality_builders_match_linear(builder):
+    """Sweep-SAH and PLOC builders (the remaining two of the reference's
+    4-builder set, NodesBVHTreePayload.cpp:474-521) return the same
+    closest hits as the Morton LBVH and a valid preorder topology."""
+    from linevis_tpu.ops.lbvh import build_bvh_ploc, build_bvh_sweep_sah
+
+    fn = {"sweep_sah": build_bvh_sweep_sah, "ploc": build_bvh_ploc}[builder]
+    n = 300
+    amin, amax = _boxes(n, seed=13)
+    bvh = fn(amin, amax)
+    lin = build_lbvh(jnp.asarray(amin), jnp.asarray(amax))
+
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    seen = np.zeros(2 * n - 1, bool)
+    seen[0] = True
+    for i in range(n - 1):
+        assert left[i] > i and right[i] > i
+        assert not seen[left[i]] and not seen[right[i]]
+        seen[left[i]] = True
+        seen[right[i]] = True
+    assert seen.all()
+    assert sorted(np.asarray(bvh.leaf_prim).tolist()) == list(range(n))
+    nm = np.asarray(bvh.node_min)
+    nx = np.asarray(bvh.node_max)
+    for i in range(n - 1):
+        for ch in (left[i], right[i]):
+            assert (nm[i] <= nm[ch] + 1e-6).all()
+            assert (nx[i] >= nx[ch] - 1e-6).all()
+
+    rng = np.random.default_rng(29)
+    R = 96
+    o = rng.uniform(-3, -2, (R, 3)).astype(np.float32)
+    d = rng.uniform(0.2, 1, (R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t1, p1 = ray_query(bvh, jnp.asarray(o), jnp.asarray(d))
+    t2, p2 = ray_query(lin, jnp.asarray(o), jnp.asarray(d))
+    t1, p1, t2, p2 = map(np.asarray, (t1, p1, t2, p2))
+    assert ((p1 >= 0) == (p2 >= 0)).all()
+    hit = p1 >= 0
+    assert np.allclose(t1[hit], t2[hit], atol=1e-4)
+
+    # Single-primitive degenerate tree (ADVICE r4: must not raise).
+    one = fn(amin[:1], amax[:1])
+    assert np.asarray(one.leaf_prim).tolist() == [0]
