@@ -339,3 +339,47 @@ def test_saturation_culling_error_bound():
     assert np.abs(a_cull - a_full).max() <= 0.01 + 1e-5
     # And culling must actually have engaged (some pixel saturated).
     assert a_full.max() > 0.99
+
+
+def test_narrow_insert_path_identical():
+    """The K>8 narrow-insert fast path (occupancy-gated [8, P] inserts,
+    kernels/raster_capsule_oit.py _NARROW_R) must be bit-identical to the
+    full [K, P] insertion sort, across the occupancy crossover."""
+    import jax
+
+    import linevis_tpu.kernels.raster_capsule_oit as rco
+    from linevis_tpu.render.tube_raster import (
+        _proj_constants,
+        prepare_capsule_frame,
+    )
+
+    scene = _layered_scene(24, radius=0.25)  # occupancy crosses 8
+    cam = Camera(position=(0.0, 0.0, 4.0), width=W, height=H)
+    S = _settings()
+    vp = jnp.asarray(cam.view_projection_matrix())
+    cp = jnp.asarray(np.asarray(cam.position, np.float32))
+    ab = jnp.asarray(_proj_constants(cam))
+    csr, params, _ = prepare_capsule_frame(scene, vp, cp, ab, S)
+    params = params.at[14].set(0.35)
+
+    def run():
+        d, rgb, a = rco.rasterize_capsules_mlab(
+            csr, params, W, H, S.tile_w, S.tile_h, 16,
+            tf_color=((0.0, 0.2, 0.4, 0.9), (1.0, 0.9, 0.3, 0.1)),
+            tf_opacity=((0.0, 1.0), (1.0, 1.0)), interpret=True,
+        )
+        return np.asarray(d), np.asarray(rgb), np.asarray(a)
+
+    saved = rco._NARROW_R
+    try:
+        d1, r1, a1 = run()
+        assert int((d1 < 2.0).sum(0).max()) > 8  # crossover exercised
+        rco._NARROW_R = 10 ** 9  # force the full path
+        jax.clear_caches()
+        d0, r0, a0 = run()
+    finally:
+        rco._NARROW_R = saved
+        jax.clear_caches()
+    assert np.array_equal(d0, d1)
+    assert np.array_equal(r0, r1)
+    assert np.array_equal(a0, a1)
